@@ -1,0 +1,175 @@
+"""The five named benchmark configs (BASELINE.json:7-11).
+
+1. gru_foursquare_nyc  — plain GRU next-POI, Foursquare-NYC subset
+                         (~10k POIs, 64-d embeddings, batch 32, CPU-runnable)
+2. lstm_bpr_foursquare — LSTM with user embedding + BPR loss, full Foursquare
+                         (~50k POIs, 128-d)
+3. strnn_gowalla       — ST-RNN-style time/distance transition interpolation,
+                         Gowalla (~100k POIs)
+4. attention_gowalla   — attention-augmented sequence model (last-k check-ins)
+                         with sampled softmax, Gowalla, 256-d
+5. multihost_1m        — multi-host scale-out: 1M-POI synthetic catalog,
+                         sharded 512-d tables, all-to-all lookup + fused
+                         top-k eval on N>=2 hosts
+"""
+
+from __future__ import annotations
+
+from poi_tpu.utils.config import (
+    CheckpointConfig,
+    Config,
+    DataConfig,
+    EvalConfig,
+    LossConfig,
+    MeshConfig,
+    ModelConfig,
+    TrainConfig,
+)
+
+_REGISTRY: dict[str, Config] = {}
+
+
+def register(cfg: Config) -> Config:
+    _REGISTRY[cfg.name] = cfg
+    return cfg
+
+
+def get_config(name: str) -> Config:
+    if name not in _REGISTRY:
+        raise KeyError(f"Unknown config {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def list_configs() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# --- config #1: plain GRU, Foursquare-NYC subset (BASELINE.json:7) -----------
+register(
+    Config(
+        name="gru_foursquare_nyc",
+        data=DataConfig(
+            dataset="foursquare",
+            num_users=2_000,
+            num_pois=10_000,
+            mean_checkins_per_user=60,
+            max_seq_len=64,
+        ),
+        model=ModelConfig(kind="gru", embed_dim=64, hidden_dim=64),
+        loss=LossConfig(kind="ce"),
+        train=TrainConfig(batch_size=32, num_steps=3_000),
+        mesh=MeshConfig(data=-1, model=1),
+    )
+)
+
+# --- config #2: LSTM + user embedding + BPR, full Foursquare (BASELINE.json:8)
+register(
+    Config(
+        name="lstm_bpr_foursquare",
+        data=DataConfig(
+            dataset="foursquare",
+            num_users=8_000,
+            num_pois=50_000,
+            mean_checkins_per_user=80,
+            max_seq_len=64,
+        ),
+        model=ModelConfig(
+            kind="lstm", embed_dim=128, hidden_dim=128, use_user_embedding=True
+        ),
+        loss=LossConfig(kind="bpr", num_negatives=4),
+        train=TrainConfig(batch_size=64, num_steps=5_000),
+        mesh=MeshConfig(data=-1, model=1),
+    )
+)
+
+# --- config #3: ST-RNN with time/distance interpolation, Gowalla (B:9) -------
+register(
+    Config(
+        name="strnn_gowalla",
+        data=DataConfig(
+            dataset="gowalla",
+            num_users=10_000,
+            num_pois=100_000,
+            mean_checkins_per_user=70,
+            max_seq_len=32,  # ST-RNN windows recent check-ins
+            time_gap_buckets=8,
+            dist_buckets=8,
+        ),
+        model=ModelConfig(kind="strnn", embed_dim=64, hidden_dim=64),
+        loss=LossConfig(kind="ce"),
+        train=TrainConfig(batch_size=64, num_steps=5_000),
+        mesh=MeshConfig(data=-1, model=1),
+    )
+)
+
+# --- config #4: attention + sampled softmax, Gowalla 256-d (B:10) ------------
+register(
+    Config(
+        name="attention_gowalla",
+        data=DataConfig(
+            dataset="gowalla",
+            num_users=10_000,
+            num_pois=100_000,
+            mean_checkins_per_user=70,
+            max_seq_len=128,
+        ),
+        model=ModelConfig(
+            kind="attention",
+            embed_dim=256,
+            hidden_dim=256,
+            attn_window=16,
+            attn_heads=4,
+            attn_impl="blockwise",
+        ),
+        loss=LossConfig(kind="sampled_softmax", num_sampled=1024),
+        train=TrainConfig(batch_size=64, num_steps=5_000),
+        mesh=MeshConfig(data=-1, model=1),
+    )
+)
+
+# --- config #5: multi-host 1M-POI scale-out (B:11) ---------------------------
+register(
+    Config(
+        name="multihost_1m",
+        data=DataConfig(
+            dataset="synthetic",
+            num_users=100_000,
+            num_pois=1_000_000,
+            mean_checkins_per_user=50,
+            max_seq_len=64,
+        ),
+        model=ModelConfig(
+            kind="attention",
+            embed_dim=512,
+            hidden_dim=512,
+            use_user_embedding=True,
+            attn_window=16,
+            attn_heads=8,
+        ),
+        loss=LossConfig(kind="sampled_softmax", num_sampled=4096),
+        train=TrainConfig(batch_size=512, num_steps=10_000),
+        mesh=MeshConfig(data=-1, model=4, embedding_mode="a2a"),
+        eval=EvalConfig(topk_impl="pallas", batch_size=512),
+        checkpoint=CheckpointConfig(directory="/tmp/poi_tpu_ckpt_1m"),
+    )
+)
+
+# Small smoke config for tests / quick local runs (not a benchmark config).
+register(
+    Config(
+        name="smoke",
+        data=DataConfig(
+            dataset="synthetic",
+            num_users=64,
+            num_pois=512,
+            mean_checkins_per_user=30,
+            max_seq_len=16,
+            min_user_checkins=4,
+            min_poi_checkins=1,
+        ),
+        model=ModelConfig(kind="gru", embed_dim=32, hidden_dim=32),
+        loss=LossConfig(kind="ce"),
+        train=TrainConfig(batch_size=16, num_steps=50, eval_every=25, log_every=10),
+        eval=EvalConfig(batch_size=32, topk_impl="xla"),
+    )
+)

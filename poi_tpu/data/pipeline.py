@@ -1,0 +1,164 @@
+"""Sharded, prefetched batch pipeline.
+
+Replaces the reference's NumPy minibatch loop (SURVEY.md §2.1 R2/R9) with a
+grain-style loader: deterministic per-epoch shuffling, per-host sharding (each
+JAX process sees a disjoint slice of the example set), fixed static batch
+shapes (drop-remainder), and a background prefetch thread that overlaps host
+batch assembly with device compute.
+
+The loader is checkpointable: ``state()`` / ``restore()`` capture (epoch,
+position) so training resumes mid-epoch after preemption (SURVEY.md §5
+"Checkpoint/resume" — loader state is part of the checkpoint).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, NamedTuple
+
+import numpy as np
+
+from poi_tpu.data.dataset import Examples
+
+
+class Batch(NamedTuple):
+    """One device-ready batch. All arrays have static shapes."""
+
+    user: np.ndarray  # [B]
+    poi_in: np.ndarray  # [B, T]
+    poi_tgt: np.ndarray  # [B, T]
+    mask: np.ndarray  # [B, T] float32 (1.0 at valid target positions)
+    time_bucket: np.ndarray  # [B, T]
+    geo_bucket: np.ndarray  # [B, T]
+    tgap_idx: np.ndarray  # [B, T]
+    tgap_frac: np.ndarray  # [B, T]
+    dist_idx: np.ndarray  # [B, T]
+    dist_frac: np.ndarray  # [B, T]
+
+
+def make_batch(ex: Examples, idx: np.ndarray) -> Batch:
+    return Batch(
+        user=ex.user[idx],
+        poi_in=ex.poi_in[idx],
+        poi_tgt=ex.poi_tgt[idx],
+        mask=ex.mask[idx].astype(np.float32),
+        time_bucket=ex.time_bucket[idx],
+        geo_bucket=ex.geo_bucket[idx],
+        tgap_idx=ex.tgap_idx[idx],
+        tgap_frac=ex.tgap_frac[idx],
+        dist_idx=ex.dist_idx[idx],
+        dist_frac=ex.dist_frac[idx],
+    )
+
+
+class TrainLoader:
+    """Infinite shuffled loader over training examples.
+
+    ``batch_size`` here is the PER-HOST batch (global batch // process_count);
+    the caller shards it further over local devices via NamedSharding.
+    """
+
+    def __init__(
+        self,
+        examples: Examples,
+        batch_size: int,
+        seed: int = 0,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        prefetch: int = 2,
+    ):
+        if len(examples) == 0:
+            raise ValueError("empty example set")
+        self._ex = examples
+        self._bs = batch_size
+        self._seed = seed
+        self._host = host_id
+        self._nhosts = num_hosts
+        self._epoch = 0
+        self._pos = 0  # batch index within the epoch
+        self._perm: np.ndarray | None = None
+        self._queue: queue.Queue | None = None
+        self._thread: threading.Thread | None = None
+        self._prefetch = prefetch
+        self._stop = threading.Event()
+
+    # ------------------------------------------------------------ epoch mgmt
+    def _epoch_perm(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng((self._seed, epoch))
+        perm = rng.permutation(len(self._ex))
+        # Per-host shard: contiguous stripe of the shuffled order.
+        shard = perm[self._host :: self._nhosts]
+        n_batches = len(shard) // self._bs
+        if n_batches == 0:
+            # Fewer examples than a batch: sample with replacement (tiny data).
+            shard = rng.choice(shard, size=self._bs, replace=True)
+            n_batches = 1
+        return shard[: n_batches * self._bs].reshape(n_batches, self._bs)
+
+    def _next_indices(self) -> np.ndarray:
+        if self._perm is None:
+            self._perm = self._epoch_perm(self._epoch)
+        if self._pos >= len(self._perm):
+            self._epoch += 1
+            self._pos = 0
+            self._perm = self._epoch_perm(self._epoch)
+        idx = self._perm[self._pos]
+        self._pos += 1
+        return idx
+
+    # ------------------------------------------------------------- iteration
+    def __iter__(self) -> Iterator[Batch]:
+        return self
+
+    def __next__(self) -> Batch:
+        if self._queue is None:
+            self._start_prefetch()
+        return self._queue.get()
+
+    def _start_prefetch(self) -> None:
+        self._queue = queue.Queue(maxsize=self._prefetch)
+
+        def worker() -> None:
+            while not self._stop.is_set():
+                batch = make_batch(self._ex, self._next_indices())
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._stop.set()
+
+    # ------------------------------------------------------------ checkpoint
+    def state(self) -> dict:
+        # NOTE: prefetched-but-unconsumed batches are replayed after restore;
+        # that is the standard at-least-once semantic for loader checkpoints.
+        return {"epoch": self._epoch, "pos": self._pos, "seed": self._seed}
+
+    def restore(self, state: dict) -> None:
+        self._epoch = int(state["epoch"])
+        self._pos = int(state["pos"])
+        self._seed = int(state["seed"])
+        self._perm = None
+
+
+def eval_batches(examples: Examples, batch_size: int) -> Iterator[tuple[Batch, np.ndarray, int]]:
+    """Fixed-order eval iterator.
+
+    Yields (batch, targets, n_valid). The final partial batch is padded by
+    repeating row 0 (static shapes under jit); ``n_valid`` says how many rows
+    count toward metrics.
+    """
+    n = len(examples)
+    for s in range(0, n, batch_size):
+        idx = np.arange(s, min(s + batch_size, n))
+        n_valid = len(idx)
+        if n_valid < batch_size:
+            idx = np.concatenate([idx, np.zeros(batch_size - n_valid, np.int64)])
+        yield make_batch(examples, idx), examples.target[idx], n_valid

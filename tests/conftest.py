@@ -1,0 +1,27 @@
+"""Test harness: force an 8-fake-device CPU mesh BEFORE jax is imported.
+
+This is the standard JAX substitute for a multi-device rig (SURVEY.md §4
+"Distributed (no cluster)"): `--xla_force_host_platform_device_count=8` gives
+8 independent CPU devices, so real `Mesh`es and real collectives run in CI
+without TPU hardware. Benchmarks (bench.py) run on the real chip instead.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 fake CPU devices, got {devs}"
+    return devs
