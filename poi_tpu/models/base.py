@@ -1,0 +1,225 @@
+"""Model layer common machinery.
+
+Models are pure-functional: ``init(rng) -> params`` (a plain dict pytree) and
+``queries(params, batch) -> [B, T, D]`` producing, for every sequence
+position, the scoring query vector. Scoring against the (possibly
+vocab-sharded) POI output table is owned by the loss / eval layers, so the
+tower code never materializes catalog-wide logits.
+
+Capability parity (SURVEY.md §2.1): R3 embedding tables (POI / user / time /
+geo) live here; R4-R7 towers are one file per model, registered in
+``MODEL_REGISTRY``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from poi_tpu.data.pipeline import Batch
+from poi_tpu.utils.config import ModelConfig
+
+# lookup_fn(table [V, D], ids [...]) -> [..., D]; injected so the same tower
+# runs with a dense gather (single chip) or the sharded lookup (ops/embedding).
+LookupFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def dense_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
+    return jnp.take(table, ids, axis=0)
+
+
+@dataclass(frozen=True)
+class DataDims:
+    """Catalog sizes the parameter shapes depend on."""
+
+    num_users: int
+    num_pois: int
+    num_time_buckets: int
+    num_geo_buckets: int
+    num_tgap_buckets: int
+    num_dist_buckets: int
+
+    @classmethod
+    def from_dataset(cls, ds) -> "DataDims":
+        return cls(
+            num_users=ds.num_users,
+            num_pois=ds.num_pois,
+            num_time_buckets=ds.num_time_buckets,
+            num_geo_buckets=ds.num_geo_buckets,
+            num_tgap_buckets=ds.num_tgap_buckets,
+            num_dist_buckets=ds.num_dist_buckets,
+        )
+
+
+def compute_dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+# --------------------------------------------------------------------------- #
+# Embedding tables (reference R3)
+# --------------------------------------------------------------------------- #
+
+
+def init_embed_params(rng: jax.Array, cfg: ModelConfig, dims: DataDims) -> dict:
+    """POI/user/time/geo tables + output bias (+ untied output table)."""
+    keys = jax.random.split(rng, 6)
+    scale = 0.02
+    d = cfg.embed_dim
+    p = {
+        "poi": scale * jax.random.normal(keys[0], (dims.num_pois, d), jnp.float32),
+        "out_bias": jnp.zeros((dims.num_pois,), jnp.float32),
+    }
+    if cfg.use_user_embedding:
+        p["user"] = scale * jax.random.normal(keys[1], (dims.num_users, d), jnp.float32)
+    if cfg.use_time_embedding:
+        p["time"] = scale * jax.random.normal(keys[2], (dims.num_time_buckets, d), jnp.float32)
+    if cfg.use_geo_embedding:
+        p["geo"] = scale * jax.random.normal(keys[3], (dims.num_geo_buckets, d), jnp.float32)
+    if not cfg.tie_output_embedding:
+        p["out"] = scale * jax.random.normal(keys[4], (dims.num_pois, d), jnp.float32)
+    return p
+
+
+def input_embeddings(
+    embed: dict, batch: Batch, cfg: ModelConfig, lookup: LookupFn = dense_lookup
+) -> jax.Array:
+    """Sum of POI + time + geo embeddings per input step → [B, T, D].
+
+    Only the POI table goes through the (possibly sharded) ``lookup``; the
+    small time/geo tables are replicated and use a local gather.
+    """
+    x = lookup(embed["poi"], batch.poi_in)
+    if cfg.use_time_embedding:
+        x = x + jnp.take(embed["time"], batch.time_bucket, axis=0)
+    if cfg.use_geo_embedding:
+        x = x + jnp.take(embed["geo"], batch.geo_bucket, axis=0)
+    return x
+
+
+def output_table(params: dict, cfg: ModelConfig) -> tuple[jax.Array, jax.Array]:
+    """The [V, D] table + [V] bias that queries are scored against."""
+    embed = params["embed"]
+    table = embed["poi"] if cfg.tie_output_embedding else embed["out"]
+    return table, embed["out_bias"]
+
+
+def add_user_query(q: jax.Array, params: dict, batch: Batch, cfg: ModelConfig) -> jax.Array:
+    """Reference R5 behavior: add the user vector to the scoring query."""
+    if cfg.use_user_embedding:
+        q = q + jnp.take(params["embed"]["user"], batch.user, axis=0)[:, None, :]
+    return q
+
+
+# --------------------------------------------------------------------------- #
+# Dense layers
+# --------------------------------------------------------------------------- #
+
+
+def init_linear(rng: jax.Array, n_in: int, n_out: int, scale: float | None = None) -> dict:
+    if scale is None:
+        scale = (1.0 / n_in) ** 0.5
+    return {
+        "kernel": scale * jax.random.normal(rng, (n_in, n_out), jnp.float32),
+        "bias": jnp.zeros((n_out,), jnp.float32),
+    }
+
+
+def linear(p: dict, x: jax.Array, dtype=jnp.float32) -> jax.Array:
+    return (
+        jnp.dot(x.astype(dtype), p["kernel"].astype(dtype), preferred_element_type=jnp.float32)
+        + p["bias"]
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Registry
+# --------------------------------------------------------------------------- #
+
+MODEL_REGISTRY: dict[str, Callable] = {}
+
+
+def register_model(name: str):
+    def deco(cls):
+        MODEL_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def build_model(cfg: ModelConfig, dims: DataDims, lookup: LookupFn = dense_lookup):
+    if cfg.kind not in MODEL_REGISTRY:
+        # Import side-effect registration.
+        import poi_tpu.models.gru  # noqa: F401
+        import poi_tpu.models.lstm  # noqa: F401
+        import poi_tpu.models.strnn  # noqa: F401
+        import poi_tpu.models.attention  # noqa: F401
+    if cfg.kind not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model kind {cfg.kind!r}: have {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[cfg.kind](cfg, dims, lookup)
+
+
+class SequenceModel:
+    """Base: embeddings + tower + output projection to query space."""
+
+    def __init__(self, cfg: ModelConfig, dims: DataDims, lookup: LookupFn = dense_lookup):
+        self.cfg = cfg
+        self.dims = dims
+        self.lookup = lookup
+
+    # -- subclass surface ---------------------------------------------------
+    def init_tower(self, rng: jax.Array) -> dict:
+        raise NotImplementedError
+
+    def tower(self, tower_params: dict, x: jax.Array, batch: Batch) -> jax.Array:
+        """[B, T, D] inputs → [B, T, H] hidden states."""
+        raise NotImplementedError
+
+    # -- shared -------------------------------------------------------------
+    def init(self, rng: jax.Array) -> dict:
+        k_embed, k_tower, k_proj = jax.random.split(rng, 3)
+        params = {
+            "embed": init_embed_params(k_embed, self.cfg, self.dims),
+            "tower": self.init_tower(k_tower),
+        }
+        if self.cfg.hidden_dim != self.cfg.embed_dim or not self.cfg.tie_output_embedding:
+            params["proj"] = init_linear(k_proj, self.cfg.hidden_dim, self.cfg.embed_dim)
+        return params
+
+    def queries(self, params: dict, batch: Batch) -> jax.Array:
+        """[B, T, D] scoring queries (fp32)."""
+        x = input_embeddings(params["embed"], batch, self.cfg, self.lookup)
+        h = self.tower(params["tower"], x, batch)
+        q = linear(params["proj"], h, compute_dtype(self.cfg)) if "proj" in params else h
+        return add_user_query(q.astype(jnp.float32), params, batch, self.cfg)
+
+
+def scan_time_major(step_fn, carry_init, xs_btx: tuple, mask: jax.Array | None = None):
+    """Run ``step_fn`` over the time axis of [B, T, ...] arrays via lax.scan.
+
+    ``step_fn(carry, xs_t) -> (carry, h_t)``. When ``mask`` is given, padded
+    steps pass the carry through unchanged (functional equivalent of the
+    reference's ragged per-user loops, but compiled once with static shapes).
+    Returns [B, T, H] stacked outputs.
+    """
+    xs_tb = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), xs_btx)
+
+    if mask is not None:
+        mask_tb = jnp.swapaxes(mask, 0, 1)
+
+        def masked_step(carry, inp):
+            m_t, xs_t = inp
+            new_carry, h_t = step_fn(carry, xs_t)
+            keep = m_t[:, None]
+            new_carry = jax.tree.map(
+                lambda n, o: jnp.where(keep, n, o), new_carry, carry
+            )
+            return new_carry, h_t
+
+        _, h = jax.lax.scan(masked_step, carry_init, (mask_tb, xs_tb))
+    else:
+        _, h = jax.lax.scan(step_fn, carry_init, xs_tb)
+    return jnp.swapaxes(h, 0, 1)

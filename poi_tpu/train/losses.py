@@ -1,0 +1,137 @@
+"""Training objectives (reference R8 — SURVEY.md §2.1).
+
+Three objectives, matching the reference capability surface:
+
+- ``ce``              dense full-catalog softmax cross-entropy (configs #1, #3)
+- ``bpr``             pairwise BPR with sampled negatives (config #2)
+- ``sampled_softmax`` shared-negative sampled softmax (configs #4, #5)
+
+These are the single-device/dense implementations; the vocab-sharded variants
+(log-sum-exp with cross-shard psum — SURVEY.md §2.2 T10) live in
+``poi_tpu.ops.sharded_loss`` and are property-tested for equivalence against
+these.
+
+All losses take ``q`` [B, T, D] query vectors, the output table ``table``
+[V, D] + ``bias`` [V], and reduce with the validity ``mask`` [B, T]; logits
+are computed in bf16 inputs with fp32 accumulation (MXU-native) and
+softmaxed in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from poi_tpu.utils.config import LossConfig
+
+
+def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
+    m = mask.astype(jnp.float32)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def full_logits(q: jax.Array, table: jax.Array, bias: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """[.., D] x [V, D]^T → [.., V] in fp32 (bf16 operands, fp32 accumulate)."""
+    return (
+        jnp.dot(q.astype(dtype), table.astype(dtype).T, preferred_element_type=jnp.float32)
+        + bias
+    )
+
+
+def ce_loss(
+    q: jax.Array,
+    table: jax.Array,
+    bias: jax.Array,
+    targets: jax.Array,
+    mask: jax.Array,
+    label_smoothing: float = 0.0,
+) -> jax.Array:
+    """Dense full-catalog softmax CE; numerically stable log-sum-exp in fp32."""
+    logits = full_logits(q, table, bias)  # [B, T, V]
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    tgt_logit = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    nll = lse - tgt_logit
+    if label_smoothing > 0.0:
+        v = logits.shape[-1]
+        mean_logit = jnp.mean(logits, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * (lse - mean_logit) * (v / (v - 1.0))
+    return _masked_mean(nll, mask)
+
+
+def bpr_loss(
+    q: jax.Array,
+    table: jax.Array,
+    bias: jax.Array,
+    targets: jax.Array,
+    mask: jax.Array,
+    rng: jax.Array,
+    num_negatives: int,
+    num_pois: int,
+) -> jax.Array:
+    """Bayesian Personalized Ranking: -log sigmoid(s_pos - s_neg) over sampled
+    negatives (reference R5 pairing — BASELINE.json:8). Negatives are drawn
+    uniformly; collisions with the positive are masked out of the mean."""
+    B, T = targets.shape
+    neg = jax.random.randint(rng, (B, T, num_negatives), 0, num_pois)
+    e_pos = jnp.take(table, targets, axis=0)  # [B, T, D]
+    e_neg = jnp.take(table, neg, axis=0)  # [B, T, N, D]
+    s_pos = jnp.einsum("btd,btd->bt", q, e_pos, preferred_element_type=jnp.float32) + bias[targets]
+    s_neg = jnp.einsum("btd,btnd->btn", q, e_neg, preferred_element_type=jnp.float32) + bias[neg]
+    diff = s_pos[..., None] - s_neg  # [B, T, N]
+    pair_ok = (neg != targets[..., None]) & mask[..., None].astype(bool)
+    losses = -jax.nn.log_sigmoid(diff)
+    return _masked_mean(losses, pair_ok)
+
+
+def sampled_softmax_loss(
+    q: jax.Array,
+    table: jax.Array,
+    bias: jax.Array,
+    targets: jax.Array,
+    mask: jax.Array,
+    rng: jax.Array,
+    num_sampled: int,
+    num_pois: int,
+) -> jax.Array:
+    """Sampled softmax with a shared negative pool per batch (reference R7
+    objective — BASELINE.json:10).
+
+    Negatives are uniform over the catalog; the standard logQ correction
+    (subtract log expected-count) is applied to negative logits so the
+    sampled objective is a consistent estimator of full softmax CE.
+    Accidental hits (a negative equal to the row's positive) are masked.
+    """
+    B, T = targets.shape
+    neg = jax.random.randint(rng, (num_sampled,), 0, num_pois)  # shared pool
+    e_neg = jnp.take(table, neg, axis=0)  # [S, D]
+    e_pos = jnp.take(table, targets, axis=0)  # [B, T, D]
+    s_pos = jnp.einsum("btd,btd->bt", q, e_pos, preferred_element_type=jnp.float32) + bias[targets]
+    s_neg = (
+        jnp.einsum(
+            "btd,sd->bts",
+            q.astype(jnp.bfloat16),
+            e_neg.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        + bias[neg]
+    )
+    # logQ correction: uniform sampling w/ replacement, E[count_j] = S/V.
+    s_neg = s_neg - jnp.log(num_sampled / num_pois)
+    hit = neg[None, None, :] == targets[..., None]
+    s_neg = jnp.where(hit, -1e30, s_neg)
+    logits = jnp.concatenate([s_pos[..., None], s_neg], axis=-1)  # [B, T, 1+S]
+    nll = jax.nn.logsumexp(logits, axis=-1) - s_pos
+    return _masked_mean(nll, mask)
+
+
+def build_loss_fn(cfg: LossConfig, num_pois: int) -> Callable:
+    """Returns loss(q, table, bias, targets, mask, rng) -> scalar."""
+    if cfg.kind == "ce":
+        return lambda q, t, b, y, m, rng: ce_loss(q, t, b, y, m, cfg.label_smoothing)
+    if cfg.kind == "bpr":
+        return lambda q, t, b, y, m, rng: bpr_loss(q, t, b, y, m, rng, cfg.num_negatives, num_pois)
+    if cfg.kind == "sampled_softmax":
+        return lambda q, t, b, y, m, rng: sampled_softmax_loss(q, t, b, y, m, rng, cfg.num_sampled, num_pois)
+    raise ValueError(f"unknown loss {cfg.kind!r}")

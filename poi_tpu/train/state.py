@@ -1,0 +1,53 @@
+"""Train state and optimizer construction."""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from poi_tpu.utils.config import TrainConfig
+
+
+class TrainState(NamedTuple):
+    step: jax.Array  # scalar int32
+    params: Any
+    opt_state: Any
+    rng: jax.Array  # PRNG key threaded through sampled losses
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Warmup → constant LR with global-norm clipping.
+
+    The reference family trains with SGD/Adagrad via theano updates
+    (SURVEY.md §2.1 R9); adam is the default here, with sgd/adagrad available
+    for parity experiments.
+    """
+    if cfg.warmup_steps > 0:
+        lr = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+    else:
+        lr = cfg.learning_rate
+    if cfg.optimizer == "adam":
+        opt = optax.adamw(lr, weight_decay=cfg.weight_decay) if cfg.weight_decay else optax.adam(lr)
+    elif cfg.optimizer == "adagrad":
+        opt = optax.adagrad(lr)
+    elif cfg.optimizer == "sgd":
+        opt = optax.sgd(lr)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    chain = []
+    if cfg.grad_clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    chain.append(opt)
+    return optax.chain(*chain)
+
+
+def init_state(rng: jax.Array, params: Any, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        rng=rng,
+    )

@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment pins JAX_PLATFORMS=axon (the remote-TPU tunnel) via
+# /root/.axon_site; compiles through the tunnel take tens of seconds, so force
+# the test suite onto the 8 fake CPU devices explicitly after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
 import pytest  # noqa: E402
