@@ -34,7 +34,14 @@ def dense_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
 
 @dataclass(frozen=True)
 class DataDims:
-    """Catalog sizes the parameter shapes depend on."""
+    """Catalog sizes the parameter shapes depend on.
+
+    ``num_pois_padded`` >= num_pois rounds the catalog up to a multiple of the
+    'model' mesh axis so tables row-shard evenly (shard_map requires even
+    blocks). Padded rows are neutralized by a -1e30 output bias at init: they
+    never appear in a softmax partition function or a top-k, and their zero
+    softmax probability means zero gradient, so they stay inert forever.
+    """
 
     num_users: int
     num_pois: int
@@ -42,6 +49,17 @@ class DataDims:
     num_geo_buckets: int
     num_tgap_buckets: int
     num_dist_buckets: int
+    num_pois_padded: int = 0  # 0 → defaults to num_pois
+
+    def __post_init__(self):
+        if self.num_pois_padded == 0:
+            object.__setattr__(self, "num_pois_padded", self.num_pois)
+
+    def padded_to(self, model_shards: int) -> "DataDims":
+        import dataclasses
+
+        pad = -(-self.num_pois // model_shards) * model_shards
+        return dataclasses.replace(self, num_pois_padded=pad)
 
     @classmethod
     def from_dataset(cls, ds) -> "DataDims":
@@ -69,9 +87,13 @@ def init_embed_params(rng: jax.Array, cfg: ModelConfig, dims: DataDims) -> dict:
     keys = jax.random.split(rng, 6)
     scale = 0.02
     d = cfg.embed_dim
+    vp = dims.num_pois_padded
+    # Padded rows get a -1e30 bias: zero softmax probability, never in top-k,
+    # zero gradient — the one-line answer to uneven vocab sharding.
+    bias = jnp.where(jnp.arange(vp) < dims.num_pois, 0.0, -1e30).astype(jnp.float32)
     p = {
-        "poi": scale * jax.random.normal(keys[0], (dims.num_pois, d), jnp.float32),
-        "out_bias": jnp.zeros((dims.num_pois,), jnp.float32),
+        "poi": scale * jax.random.normal(keys[0], (vp, d), jnp.float32),
+        "out_bias": bias,
     }
     if cfg.use_user_embedding:
         p["user"] = scale * jax.random.normal(keys[1], (dims.num_users, d), jnp.float32)
@@ -80,7 +102,7 @@ def init_embed_params(rng: jax.Array, cfg: ModelConfig, dims: DataDims) -> dict:
     if cfg.use_geo_embedding:
         p["geo"] = scale * jax.random.normal(keys[3], (dims.num_geo_buckets, d), jnp.float32)
     if not cfg.tie_output_embedding:
-        p["out"] = scale * jax.random.normal(keys[4], (dims.num_pois, d), jnp.float32)
+        p["out"] = scale * jax.random.normal(keys[4], (vp, d), jnp.float32)
     return p
 
 

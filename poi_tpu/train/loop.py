@@ -48,9 +48,28 @@ class Trainer:
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = mesh_lib.make_mesh(self.cfg.mesh.data, self.cfg.mesh.model)
-        lookup = self.lookup or model_base.dense_lookup
+        n_model = self.mesh.shape[mesh_lib.MODEL_AXIS]
+        self.dims = self.dims.padded_to(n_model)
+        lookup = self.lookup
+        if lookup is None:
+            if n_model > 1:
+                from poi_tpu.ops.embedding import make_lookup
+
+                lookup = make_lookup(
+                    self.mesh, self.cfg.mesh.embedding_mode, self.cfg.mesh.a2a_capacity_factor
+                )
+            else:
+                lookup = model_base.dense_lookup
         self.model = model_base.build_model(self.cfg.model, self.dims, lookup)
-        self.loss_fn = self.loss_override or build_loss_fn(self.cfg.loss, self.dims.num_pois)
+        loss_fn = self.loss_override
+        if loss_fn is None:
+            if n_model > 1 and self.cfg.loss.kind == "ce":
+                from poi_tpu.ops.sharded_loss import make_sharded_ce
+
+                loss_fn = make_sharded_ce(self.mesh)
+            else:
+                loss_fn = build_loss_fn(self.cfg.loss, self.dims.num_pois)
+        self.loss_fn = loss_fn
         self.optimizer = make_optimizer(self.cfg.train)
 
     # ------------------------------------------------------------------ init
@@ -66,7 +85,7 @@ class Trainer:
             return init_state(k_state, params, self.optimizer)
 
         shapes = jax.eval_shape(_init, rng)
-        shardings = state_shardings(shapes, self.mesh, self.dims.num_pois)
+        shardings = state_shardings(shapes, self.mesh, self.dims.num_pois_padded)
         return jax.jit(_init, out_shardings=shardings)(rng)
 
     # ------------------------------------------------------------------ step
@@ -95,7 +114,7 @@ class Trainer:
 
         # Shardings: derive from an abstract state + the example batch.
         abstract_state = jax.eval_shape(self.init_state)
-        st_shard = state_shardings(abstract_state, self.mesh, self.dims.num_pois)
+        st_shard = state_shardings(abstract_state, self.mesh, self.dims.num_pois_padded)
         b_shard = batch_shardings(example_batch, self.mesh)
         m_shard = replicated_shardings(
             {"loss": 0.0, "grad_norm": 0.0, "param_norm": 0.0}, self.mesh
