@@ -6,12 +6,18 @@ a batch of contexts to top-K candidate ids by scoring against the (possibly
 vocab-sharded) output table — either with XLA's ``lax.top_k`` (correctness
 oracle) or the fused Pallas score+top-k kernel (``ops/topk.py``). Metrics
 (Recall@{1,5,10}, NDCG) are then O(N·K) on host.
+
+Eval-time catalog layout: the Pallas kernel's running-top-k merge skips vocab
+tiles that cannot beat any row's current k-th best, so laying the table out
+in descending train-popularity order (real check-in catalogs are power-law)
+concentrates winners in the first tiles and lets the tail stream at pure
+matmul speed. ``evaluate`` reorders the table once per sweep and maps the
+returned ids back through the permutation.
 """
 
 from __future__ import annotations
 
 import logging
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +27,7 @@ from poi_tpu.data.dataset import Dataset
 from poi_tpu.data.pipeline import eval_batches
 from poi_tpu.eval.metrics import ranking_metrics
 from poi_tpu.models import base as model_base
+from poi_tpu.ops.topk import fused_topk, pad_table_for_topk, xla_topk
 from poi_tpu.train.losses import full_logits
 from poi_tpu.utils.config import Config
 
@@ -34,35 +41,59 @@ def last_valid_queries(model, params: dict, batch) -> jax.Array:
     return jnp.take_along_axis(q, last[:, None, None], axis=1)[:, 0]
 
 
+def prepare_catalog(params: dict, cfg: Config, poi_counts: np.ndarray | None):
+    """Once-per-sweep table prep: popularity reorder + tile padding.
+
+    Returns (table, bias, order) where ``order`` maps kernel ids back to
+    catalog ids (None if no reorder happened).
+    """
+    table, bias = model_base.output_table(params, cfg.model)
+    order = None
+    if cfg.eval.topk_impl == "pallas":
+        if poi_counts is not None:
+            order_np = np.argsort(-poi_counts).astype(np.int32)
+            pad = table.shape[0] - len(order_np)
+            if pad > 0:  # padded vocab rows stay at the tail
+                order_np = np.concatenate([order_np, np.arange(len(order_np), table.shape[0], dtype=np.int32)])
+            order = jnp.asarray(order_np)
+            table = jnp.take(table, order, axis=0)
+            bias = jnp.take(bias, order, axis=0)
+        table, bias = pad_table_for_topk(table, bias)
+    return jax.block_until_ready((table, bias)), order
+
+
 def make_topk_fn(model, cfg: Config, k: int):
-    """jit'd (params, batch) -> [B, k] ranked candidate ids."""
+    """jit'd (params, table, bias, batch) -> [B, k] candidate ids (in the
+    prepared table's id space)."""
     impl = cfg.eval.topk_impl
 
-    def fn(params, batch):
+    @jax.jit
+    def fn(params, table, bias, batch):
         ql = last_valid_queries(model, params, batch)
-        table, bias = model_base.output_table(params, cfg.model)
         if impl == "pallas":
-            from poi_tpu.ops.topk import fused_topk
-
             return fused_topk(ql, table, bias, k)[1]
         scores = full_logits(ql, table, bias)  # [B, V]
         return jax.lax.top_k(scores, k)[1]
 
-    return jax.jit(fn)
+    return fn
 
 
 def evaluate(model, params: dict, dataset: Dataset, cfg: Config) -> dict[str, float]:
     ks = cfg.eval.recall_ks
     k = max(ks)
+    (table, bias), order = prepare_catalog(params, cfg, dataset.poi_counts)
     topk_fn = make_topk_fn(model, cfg, k)
 
     test = dataset.test
     if cfg.eval.max_eval_users and len(test) > cfg.eval.max_eval_users:
         test = test.take(np.arange(cfg.eval.max_eval_users))
 
+    order_np = None if order is None else np.asarray(order)
     all_topk, all_tgt = [], []
     for batch, targets, n_valid in eval_batches(test, cfg.eval.batch_size):
-        ids = np.asarray(topk_fn(params, batch))
+        ids = np.asarray(topk_fn(params, table, bias, batch))
+        if order_np is not None:
+            ids = order_np[ids]  # back to catalog id space
         all_topk.append(ids[:n_valid])
         all_tgt.append(targets[:n_valid])
     topk = np.concatenate(all_topk)
