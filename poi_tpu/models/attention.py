@@ -46,18 +46,25 @@ class AttentionModel(base.SequenceModel):
             },
         }
 
+    # Injected by the Trainer when attn_impl is 'ring'/'ulysses' and the
+    # 'model' mesh axis is >1 (parallel/sp_attention.make_sp_attention).
+    sp_mha = None
+
     def tower(self, tower_params: dict, x: jax.Array, batch) -> jax.Array:
         cfg = self.cfg
         dtype = base.compute_dtype(cfg)
         h = gru_layer(tower_params["gru"], x, batch.mask, dtype)
-        attn_impl = cfg.attn_impl if cfg.attn_impl in ("vanilla", "blockwise") else "blockwise"
-        o = multihead_attention(
-            h,
-            tower_params["mha"],
-            num_heads=cfg.attn_heads,
-            window=cfg.attn_window,
-            impl=attn_impl,
-            block_size=cfg.attn_block_size,
-            dtype=dtype,
-        )
+        if self.sp_mha is not None:
+            o = self.sp_mha(h, tower_params["mha"])
+        else:
+            attn_impl = cfg.attn_impl if cfg.attn_impl in ("vanilla", "blockwise") else "blockwise"
+            o = multihead_attention(
+                h,
+                tower_params["mha"],
+                num_heads=cfg.attn_heads,
+                window=cfg.attn_window,
+                impl=attn_impl,
+                block_size=cfg.attn_block_size,
+                dtype=dtype,
+            )
         return layer_norm(tower_params["ln"], h + o)

@@ -43,13 +43,16 @@ def all_gather(x, axis: str, *, gather_axis: int = 0, tiled: bool = True):
     return jax.lax.all_gather(x, axis, axis=gather_axis, tiled=tiled)
 
 
-def all_to_all(x, axis: str, *, split_axis: int, concat_axis: int):
+def all_to_all(x, axis: str, *, split_axis: int, concat_axis: int, tiled: bool = False):
     """Transpose a device-sharded axis with an in-array axis.
 
-    ``x[..., split_axis=M, ...]`` per device → each device keeps its
-    ``axis_index``-th slice from every peer, concatenated on ``concat_axis``.
+    tiled=False: ``split_axis`` must equal the axis size and is consumed; a
+    new device-indexed axis appears at ``concat_axis``.
+    tiled=True: ``split_axis`` is cut into axis-size pieces in place and
+    received pieces concatenate onto ``concat_axis`` (symmetric under
+    transpose — prefer this in differentiated code).
     """
-    return jax.lax.all_to_all(x, axis, split_axis=split_axis, concat_axis=concat_axis, tiled=False)
+    return jax.lax.all_to_all(x, axis, split_axis=split_axis, concat_axis=concat_axis, tiled=tiled)
 
 
 def ppermute_ring(x, axis: str, *, shift: int = 1):

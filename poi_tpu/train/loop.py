@@ -61,6 +61,20 @@ class Trainer:
             else:
                 lookup = model_base.dense_lookup
         self.model = model_base.build_model(self.cfg.model, self.dims, lookup)
+        if (
+            self.cfg.model.kind == "attention"
+            and self.cfg.model.attn_impl in ("ring", "ulysses")
+            and n_model > 1
+        ):
+            from poi_tpu.parallel.sp_attention import make_sp_attention
+
+            self.model.sp_mha = make_sp_attention(
+                self.mesh,
+                self.cfg.model.attn_heads,
+                self.cfg.model.attn_window,
+                self.cfg.model.attn_impl,
+                self.cfg.model.attn_block_size,
+            )
         loss_fn = self.loss_override
         if loss_fn is None:
             if n_model > 1 and self.cfg.loss.kind == "ce":
