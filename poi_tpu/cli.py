@@ -1,0 +1,172 @@
+"""Command-line entry point (reference R11 → SURVEY.md §1.2 API/CLI layer).
+
+    python -m poi_tpu train --config gru_foursquare_nyc [--set k=v ...]
+    python -m poi_tpu eval  --config gru_foursquare_nyc --checkpoint-dir DIR
+    python -m poi_tpu bench --config gru_foursquare_nyc
+    python -m poi_tpu configs
+
+Training composes: data pipeline → pjit'd train loop → periodic eval →
+orbax checkpointing (auto-resume from the latest checkpoint in the
+directory) → JSONL metrics. ``--set train.fault_inject_step=N`` exercises
+the crash/resume path end-to-end (SURVEY.md §5 failure detection).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import jax
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="poi_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    def add_common(p):
+        p.add_argument("--config", required=True, help="named config (see `configs`)")
+        p.add_argument("--set", nargs="*", default=[], help="dotted overrides key=value")
+        p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+
+    p_train = sub.add_parser("train", help="train a model")
+    add_common(p_train)
+    p_train.add_argument("--checkpoint-dir", default=None, help="override checkpoint directory")
+    p_train.add_argument("--no-checkpoint", action="store_true")
+    p_train.add_argument("--metrics-dir", default=None)
+    p_train.add_argument("--profile-dir", default=None, help="trace steps 10..15 to this dir")
+
+    p_eval = sub.add_parser("eval", help="evaluate a checkpoint")
+    add_common(p_eval)
+    p_eval.add_argument("--checkpoint-dir", default=None)
+
+    p_cfgs = sub.add_parser("configs", help="list named configs")
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+
+    if args.cmd == "configs":
+        from poi_tpu.configs.presets import list_configs
+
+        for name in list_configs():
+            print(name)
+        return 0
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from poi_tpu.configs.presets import get_config
+    from poi_tpu.utils.config import parse_set_flags
+
+    cfg = get_config(args.config).with_overrides(parse_set_flags(args.set))
+    if getattr(args, "checkpoint_dir", None):
+        cfg = cfg.with_overrides({"checkpoint.directory": args.checkpoint_dir})
+
+    if args.cmd == "train":
+        return run_train(
+            cfg,
+            enable_checkpoint=not args.no_checkpoint,
+            metrics_dir=args.metrics_dir,
+            profile_dir=args.profile_dir,
+        )
+    if args.cmd == "eval":
+        return run_eval(cfg)
+    return 1
+
+
+def run_train(cfg, enable_checkpoint: bool = True, metrics_dir: str | None = None, profile_dir: str | None = None) -> int:
+    from poi_tpu.data.dataset import load_dataset
+    from poi_tpu.data.pipeline import TrainLoader
+    from poi_tpu.eval.evaluate import evaluate, popularity_baseline
+    from poi_tpu.models.base import DataDims
+    from poi_tpu.parallel import mesh as mesh_lib
+    from poi_tpu.train.loop import Trainer, train
+    from poi_tpu.utils.checkpoint import CheckpointManager, abstract_like
+    from poi_tpu.utils.obs import MetricsLogger, profile_window
+
+    log = logging.getLogger("poi_tpu.cli")
+    mesh_lib.maybe_init_distributed()
+
+    ds = load_dataset(cfg.data)
+    log.info(
+        "dataset: %d users, %d pois, %d train examples, %d test examples",
+        ds.num_users, ds.num_pois, len(ds.train), len(ds.test),
+    )
+    trainer = Trainer(cfg, DataDims.from_dataset(ds))
+    state = trainer.init_state()
+
+    ckpt = None
+    if enable_checkpoint:
+        ckpt = CheckpointManager(
+            cfg.checkpoint.directory, cfg.checkpoint.max_to_keep, cfg.checkpoint.async_save
+        )
+        latest = ckpt.latest_step()
+        if latest is not None:
+            from poi_tpu.parallel.shardings import state_shardings
+
+            sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
+            state, _loader_state = ckpt.restore(abstract_like(state, sh))
+            log.info("resumed from checkpoint step %d", latest)
+
+    metrics = MetricsLogger(metrics_dir)
+    pw = profile_window(profile_dir, 10, 15)
+
+    def callback(step, st, m):
+        pw.step(step)
+        if ckpt is not None and step % cfg.train.checkpoint_every == 0:
+            ckpt.save(step, st, config_json=cfg.to_json())
+        if step % cfg.train.eval_every == 0:
+            em = evaluate(trainer.model, st.params, ds, cfg)
+            metrics.write(step, {f"eval/{k}": v for k, v in em.items()})
+
+    start = int(state.step)
+    remaining = cfg.train.num_steps - start
+    if remaining <= 0:
+        log.info("checkpoint already at step %d >= num_steps", start)
+        return 0
+    try:
+        trainer, state, history = train(
+            cfg, ds, num_steps=remaining, state=state, trainer=trainer, callbacks=[callback]
+        )
+    finally:
+        pw.close()
+    for row in history:
+        metrics.write(row["step"], {k: v for k, v in row.items() if k != "step"})
+
+    final = evaluate(trainer.model, state.params, ds, cfg)
+    pop = popularity_baseline(ds, cfg.eval.recall_ks)
+    metrics.write(int(state.step), {f"final/{k}": v for k, v in final.items()})
+    log.info("final eval: %s", final)
+    log.info("popularity baseline: %s", pop)
+    if ckpt is not None:
+        ckpt.save(int(state.step), state, config_json=cfg.to_json())
+        ckpt.wait()
+        ckpt.close()
+    metrics.close()
+    return 0
+
+
+def run_eval(cfg) -> int:
+    from poi_tpu.data.dataset import load_dataset
+    from poi_tpu.eval.evaluate import evaluate
+    from poi_tpu.models.base import DataDims
+    from poi_tpu.train.loop import Trainer
+    from poi_tpu.utils.checkpoint import CheckpointManager, abstract_like
+    from poi_tpu.parallel.shardings import state_shardings
+
+    log = logging.getLogger("poi_tpu.cli")
+    ds = load_dataset(cfg.data)
+    trainer = Trainer(cfg, DataDims.from_dataset(ds))
+    state = trainer.init_state()
+    ckpt = CheckpointManager(cfg.checkpoint.directory)
+    sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
+    state, _ = ckpt.restore(abstract_like(state, sh))
+    log.info("restored step %d", int(state.step))
+    m = evaluate(trainer.model, state.params, ds, cfg)
+    print(m)
+    ckpt.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -135,6 +135,19 @@ class TrainLoader:
     def close(self) -> None:
         self._stop.set()
 
+    def batches_per_epoch(self) -> int:
+        n_shard = len(range(self._host, len(self._ex), self._nhosts))
+        return max(1, n_shard // self._bs)
+
+    def seek(self, global_batches: int) -> None:
+        """Position the loader as if ``global_batches`` had been consumed —
+        the deterministic equivalent of replaying from step 0, used when
+        resuming from a checkpointed step count."""
+        n = self.batches_per_epoch()
+        self._epoch = global_batches // n
+        self._pos = global_batches % n
+        self._perm = None
+
     # ------------------------------------------------------------ checkpoint
     def state(self) -> dict:
         # NOTE: prefetched-but-unconsumed batches are replayed after restore;

@@ -170,6 +170,9 @@ def train(
         host_id=jax.process_index(),
         num_hosts=jax.process_count(),
     )
+    if start_step:
+        # Resume: deterministic fast-forward so step N always sees batch N.
+        loader.seek(start_step)
     history: list[dict] = []
     t0 = time.perf_counter()
     seqs = 0

@@ -1,0 +1,100 @@
+"""Orbax checkpointing: sharded save/restore of the full train state
+(SURVEY.md §5 "Checkpoint/resume").
+
+The reference's persistence story is at most pickled shared variables; here
+every checkpoint carries params + optimizer state + step + PRNG key (saved
+sharded — each host writes its own shards) plus the loader position and the
+serialized config, so a preempted run resumes exactly: same data order, same
+sampling keys, same optimizer moments.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from poi_tpu.train.state import TrainState
+
+log = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3, async_save: bool = False):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            enable_async_checkpointing=async_save,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    # ------------------------------------------------------------------ save
+    def save(self, step: int, state: TrainState, loader_state: dict | None = None, config_json: str | None = None) -> None:
+        extra = {"loader": loader_state, "config": config_json}
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(_serializable(state)),
+                extra=ocp.args.JsonSave(extra),
+            ),
+        )
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    # --------------------------------------------------------------- restore
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, abstract_state: TrainState, step: int | None = None) -> tuple[TrainState, dict]:
+        """Restore into the sharding/layout of ``abstract_state`` (use
+        jax.eval_shape + shardings so large tables restore born-sharded)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(_serializable(abstract_state)),
+                extra=ocp.args.JsonRestore(),
+            ),
+        )
+        d = dict(restored["state"])
+        d["rng"] = jax.random.wrap_key_data(d["rng"])
+        state = TrainState(**d)
+        extra = restored.get("extra") or {}
+        return state, (extra.get("loader") or {})
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def _serializable(state: TrainState) -> dict:
+    """TrainState → plain dict with the typed PRNG key flattened to uint32
+    key data (typed key dtypes aren't serializable)."""
+    d = state._asdict()
+    rng = d["rng"]
+    if jax.dtypes.issubdtype(getattr(rng, "dtype", None), jax.dtypes.prng_key):
+        if isinstance(rng, jax.ShapeDtypeStruct):
+            d["rng"] = jax.ShapeDtypeStruct(rng.shape + (2,), np.uint32)
+        else:
+            d["rng"] = jax.random.key_data(rng)
+    return d
+
+
+def abstract_like(state: TrainState, shardings=None) -> TrainState:
+    """ShapeDtypeStruct pytree (optionally with shardings) for restore."""
+    def absify(x, s=None):
+        if hasattr(x, "shape"):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+        return x
+
+    if shardings is None:
+        return jax.tree.map(absify, state)
+    return jax.tree.map(absify, state, shardings)

@@ -1,0 +1,97 @@
+"""Checkpoint/resume tests: kill-and-restore continuity (SURVEY.md §4
+Fault/resume tier) including the fault-injection path."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from poi_tpu.configs.presets import get_config
+from poi_tpu.data.dataset import load_dataset
+from poi_tpu.models.base import DataDims
+from poi_tpu.train.loop import FaultInjected, Trainer, train
+from poi_tpu.utils.checkpoint import CheckpointManager, abstract_like
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    cfg = get_config("smoke").with_overrides({"train.num_steps": "6", "train.log_every": "2"})
+    ds = load_dataset(cfg.data)
+    return cfg, ds
+
+
+def test_save_restore_roundtrip(setup, tmp_path):
+    cfg, ds = setup
+    trainer = Trainer(cfg, DataDims.from_dataset(ds))
+    state = trainer.init_state()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, state, loader_state={"epoch": 1, "pos": 3, "seed": 0}, config_json=cfg.to_json())
+    mgr.wait()
+    restored, loader_state = mgr.restore(abstract_like(state))
+    for a, b in zip(jax.tree.leaves((state.params, state.opt_state)), jax.tree.leaves((restored.params, restored.opt_state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(state.rng)), np.asarray(jax.random.key_data(restored.rng))
+    )
+    assert int(restored.step) == 0
+    assert loader_state == {"epoch": 1, "pos": 3, "seed": 0}
+    mgr.close()
+
+
+@pytest.mark.slow
+def test_kill_and_resume_continuity(setup, tmp_path):
+    """Train 6 steps straight vs train 3 + checkpoint + crash + resume 3:
+    final params must match exactly (same data order, same rng folds)."""
+    cfg, ds = setup
+    dims = DataDims.from_dataset(ds)
+
+    # Continuous run.
+    t_a = Trainer(cfg, dims)
+    s_a = t_a.init_state()
+    _, s_a, _ = train(cfg, ds, num_steps=6, state=s_a, trainer=t_a)
+
+    # Interrupted run: 3 steps, save, "crash", restore, 3 more.
+    t_b = Trainer(cfg, dims)
+    s_b = t_b.init_state()
+    _, s_b, _ = train(cfg, ds, num_steps=3, state=s_b, trainer=t_b)
+    mgr = CheckpointManager(str(tmp_path / "resume"))
+    mgr.save(3, s_b, config_json=cfg.to_json())
+    mgr.wait()
+    del s_b, t_b
+
+    t_c = Trainer(cfg, dims)
+    template = t_c.init_state()
+    s_c, _ = mgr.restore(abstract_like(template))
+    assert int(s_c.step) == 3
+    _, s_c, _ = train(cfg, ds, num_steps=3, state=s_c, trainer=t_c)
+    mgr.close()
+
+    assert int(s_a.step) == int(s_c.step) == 6
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_c.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fault_inject_then_resume(setup, tmp_path):
+    """The documented crash-drill: fault-inject mid-train, then resume."""
+    cfg, ds = setup
+    dims = DataDims.from_dataset(ds)
+    trainer = Trainer(cfg, dims)
+    state = trainer.init_state()
+    mgr = CheckpointManager(str(tmp_path / "fault"))
+
+    def cb(step, st, m):
+        if step % 2 == 0:
+            mgr.save(step, st)
+
+    cfg_fault = cfg.with_overrides({"train.fault_inject_step": "4"})
+    with pytest.raises(FaultInjected):
+        train(cfg_fault, ds, state=state, trainer=trainer, callbacks=[cb])
+    mgr.wait()
+    assert mgr.latest_step() == 4
+
+    template = trainer.init_state()
+    restored, _ = mgr.restore(abstract_like(template))
+    assert int(restored.step) == 4
+    _, final, _ = train(cfg, ds, num_steps=2, state=restored, trainer=trainer)
+    assert int(final.step) == 6
+    mgr.close()
