@@ -1,0 +1,102 @@
+"""Driver benchmark: prints ONE JSON line.
+
+Metric: training throughput (sequences/sec/chip) of the TPU-native framework
+on a full-Foursquare-scale workload (GRU tower, ~50k POI catalog, 128-d,
+T=64, full-softmax CE — the capability point of BASELINE.json:8 with the
+reference's own objective).
+
+vs_baseline: ratio against a "reference-shaped" run measured on the SAME
+chip in the same process — the Theano reference's configuration (batch 32
+[BASELINE.json:7], fp32 everywhere, dense full-catalog softmax), still
+jit-compiled (Theano also compiled; this is generous to the baseline). The
+reference itself cannot run here (Theano, no network, empty mount — see
+SURVEY.md §0/§6), so this proxy is the honest same-hardware comparison and
+doubles as the record of what TPU-first design (bf16 MXU paths, large
+batches, fused pipelines) buys over a straight port.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def _throughput(cfg, ds, steps=30, warmup=5) -> float:
+    import jax
+
+    from poi_tpu.data.pipeline import TrainLoader
+    from poi_tpu.models.base import DataDims
+    from poi_tpu.train.loop import Trainer
+
+    trainer = Trainer(cfg, DataDims.from_dataset(ds))
+    state = trainer.init_state()
+    loader = TrainLoader(ds.train, batch_size=cfg.train.batch_size, seed=0)
+    try:
+        for _ in range(warmup):
+            state, m = trainer.step(state, next(loader))
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = trainer.step(state, next(loader))
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+    finally:
+        loader.close()
+    return steps * cfg.train.batch_size / dt
+
+
+def main() -> int:
+    from poi_tpu.configs.presets import get_config
+    from poi_tpu.data.dataset import load_dataset
+
+    base_overrides = {
+        "data.num_users": "4000",
+        "data.num_pois": "50000",
+        "data.mean_checkins_per_user": "60",
+        "data.max_seq_len": "64",
+        "data.min_user_checkins": "8",
+        "model.kind": "gru",
+        "model.embed_dim": "128",
+        "model.hidden_dim": "128",
+        "loss.kind": "ce",
+        "train.warmup_steps": "0",
+    }
+    cfg_ours = get_config("smoke").with_overrides(
+        {**base_overrides, "train.batch_size": "256", "model.compute_dtype": "bfloat16"}
+    )
+    # Reference-shaped: batch 32 (BASELINE.json:7), fp32, same dense softmax.
+    cfg_ref = get_config("smoke").with_overrides(
+        {**base_overrides, "train.batch_size": "32", "model.compute_dtype": "float32"}
+    )
+
+    print("synthesizing dataset...", file=sys.stderr)
+    ds = load_dataset(cfg_ours.data)
+    print(
+        f"dataset: {ds.num_users} users {ds.num_pois} pois {len(ds.train)} examples",
+        file=sys.stderr,
+    )
+
+    print("benchmarking reference-shaped baseline (fp32, batch 32)...", file=sys.stderr)
+    ref = _throughput(cfg_ref, ds)
+    print(f"baseline: {ref:.1f} seq/s", file=sys.stderr)
+
+    print("benchmarking tpu-native path (bf16, batch 256)...", file=sys.stderr)
+    ours = _throughput(cfg_ours, ds)
+    print(f"ours: {ours:.1f} seq/s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_seqs_per_sec_per_chip",
+                "value": round(ours, 1),
+                "unit": "seq/s",
+                "vs_baseline": round(ours / ref, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
