@@ -75,8 +75,12 @@ def synthesize_checkins(
     poi_lat = cluster_lat[poi_cluster] + rng.normal(0, 0.01, num_pois)
     poi_lon = cluster_lon[poi_cluster] + rng.normal(0, 0.01, num_pois)
 
-    # --- POI popularity: Zipf over a random permutation of the catalog. ---- #
+    # --- POI popularity: Zipf + uniform floor over a permuted catalog. ----- #
+    # The uniform floor keeps catalog coverage realistic: pure Zipf at a=1.2
+    # leaves most of a 10k+ catalog unvisited, which the min_poi_checkins
+    # filter would then silently shrink far below the advertised scale.
     pop = (1.0 + np.arange(num_pois)) ** (-zipf_a)
+    pop = pop / pop.sum() * 0.7 + 0.3 / num_pois
     pop = pop[rng.permutation(num_pois)]
 
     # --- Per-user sequence lengths (heavy-tailed, >= 2). ------------------- #

@@ -23,9 +23,12 @@ from poi_tpu.utils.config import DataConfig
 EARTH_RADIUS_KM = 6371.0
 
 
+DEG2RAD = np.pi / 180.0  # np.radians is ~60x slower than a multiply in this env
+
+
 def haversine_km(lat1, lon1, lat2, lon2) -> np.ndarray:
     """Great-circle distance in km (vectorized, degrees in)."""
-    lat1, lon1, lat2, lon2 = (np.radians(np.asarray(x, np.float64)) for x in (lat1, lon1, lat2, lon2))
+    lat1, lon1, lat2, lon2 = (np.asarray(x, np.float64) * DEG2RAD for x in (lat1, lon1, lat2, lon2))
     dlat = lat2 - lat1
     dlon = lon2 - lon1
     a = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
@@ -78,8 +81,13 @@ class Dataset:
     dist_edges: np.ndarray = field(default=None)  # quantile bucket edges (km)
 
 
-def build_dataset(table: CheckinTable, cfg: DataConfig) -> Dataset:
-    """Full preprocessing pipeline."""
+def build_dataset(table: CheckinTable, cfg: DataConfig, use_native: bool = True) -> Dataset:
+    """Full preprocessing pipeline.
+
+    ``use_native=True`` routes the windowing stage through the C++ fast path
+    (poi_tpu/native/preprocess.cc) when the toolchain is available; the
+    Python loops below remain the oracle and fallback.
+    """
     user, poi, ts, lat, lon = (
         table.user.copy(),
         table.poi.copy(),
@@ -148,8 +156,8 @@ def build_dataset(table: CheckinTable, cfg: DataConfig) -> Dataset:
         dist_frac=dist_frac.astype(np.float32),
     )
 
-    train_ex = _window_examples(user, feats, ~is_test, starts, lengths, cfg.max_seq_len, for_eval=False)
-    test_ex = _eval_examples(user, feats, is_test, starts, lengths, cfg.max_seq_len)
+    train_ex = _build_train(user, feats, ~is_test, starts, lengths, cfg.max_seq_len, use_native)
+    test_ex = _build_eval(user, feats, is_test, starts, lengths, cfg.max_seq_len, use_native)
 
     poi_counts = np.bincount(poi[~is_test], minlength=num_pois).astype(np.int64)
 
@@ -198,6 +206,42 @@ def _quantile_edges(x: np.ndarray, k: int) -> np.ndarray:
     # Force strict monotonicity so interpolation fractions are well-defined.
     eps = max(1e-6, float(qs[-1] - qs[0]) * 1e-6)
     return np.maximum.accumulate(qs + np.arange(k + 1) * eps)
+
+
+def _examples_from_native(out: dict) -> Examples:
+    return Examples(
+        user=out["user"],
+        poi_in=out["poi_in"],
+        poi_tgt=out["poi_tgt"],
+        mask=out["mask"].astype(bool),
+        time_bucket=out["time_bucket"],
+        geo_bucket=out["geo_bucket"],
+        tgap_idx=out["tgap_idx"],
+        tgap_frac=out["tgap_frac"],
+        dist_idx=out["dist_idx"],
+        dist_frac=out["dist_frac"],
+        target=out["target"],
+    )
+
+
+def _build_train(user, feats, keep, starts, lengths, T, use_native) -> Examples:
+    if use_native:
+        from poi_tpu import native
+
+        out = native.build_train_windows(starts, lengths, user[starts], keep, feats, T)
+        if out is not None:
+            return _examples_from_native(out)
+    return _window_examples(user, feats, keep, starts, lengths, T, for_eval=False)
+
+
+def _build_eval(user, feats, is_test, starts, lengths, T, use_native) -> Examples:
+    if use_native:
+        from poi_tpu import native
+
+        out = native.build_eval_examples(starts, lengths, user[starts], is_test, feats, T)
+        if out is not None:
+            return _examples_from_native(out)
+    return _eval_examples(user, feats, is_test, starts, lengths, T)
 
 
 def _window_examples(user, feats, keep, starts, lengths, T, for_eval) -> Examples:
