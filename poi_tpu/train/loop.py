@@ -140,11 +140,22 @@ class Trainer:
             donate_argnums=(0,),
         )
 
+    def _put_batch(self, batch: Batch):
+        shardings = batch_shardings(batch, self.mesh)
+        if jax.process_count() == 1:
+            return jax.device_put(batch, shardings)
+        # Multi-host: each process holds a disjoint slice of the global batch
+        # (loader host sharding); assemble the global array from local data.
+        return jax.tree.map(
+            lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            batch,
+            shardings,
+        )
+
     def step(self, state: TrainState, batch: Batch):
         if self._step_fn is None:
             self._step_fn = self._build_step(batch)
-        device_batch = jax.device_put(batch, batch_shardings(batch, self.mesh))
-        return self._step_fn(state, device_batch)
+        return self._step_fn(state, self._put_batch(batch))
 
 
 def train(
