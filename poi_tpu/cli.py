@@ -28,6 +28,10 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--config", required=True, help="named config (see `configs`)")
         p.add_argument("--set", nargs="*", default=[], help="dotted overrides key=value")
         p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+        p.add_argument(
+            "--debug", action="store_true",
+            help="enable jax_debug_nans (fail fast on non-finite values; SURVEY.md §5 sanitizers)",
+        )
 
     p_train = sub.add_parser("train", help="train a model")
     add_common(p_train)
@@ -54,6 +58,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "debug", False):
+        jax.config.update("jax_debug_nans", True)
 
     from poi_tpu.configs.presets import get_config
     from poi_tpu.utils.config import parse_set_flags

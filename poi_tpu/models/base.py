@@ -212,11 +212,15 @@ class SequenceModel:
         return params
 
     def queries(self, params: dict, batch: Batch) -> jax.Array:
-        """[B, T, D] scoring queries (fp32)."""
-        x = input_embeddings(params["embed"], batch, self.cfg, self.lookup)
-        h = self.tower(params["tower"], x, batch)
-        q = linear(params["proj"], h, compute_dtype(self.cfg)) if "proj" in params else h
-        return add_user_query(q.astype(jnp.float32), params, batch, self.cfg)
+        """[B, T, D] scoring queries (fp32). named_scope regions show up in
+        profiler traces (SURVEY.md §5 tracing)."""
+        with jax.named_scope("embed_lookup"):
+            x = input_embeddings(params["embed"], batch, self.cfg, self.lookup)
+        with jax.named_scope(f"tower_{self.cfg.kind}"):
+            h = self.tower(params["tower"], x, batch)
+        with jax.named_scope("query_proj"):
+            q = linear(params["proj"], h, compute_dtype(self.cfg)) if "proj" in params else h
+            return add_user_query(q.astype(jnp.float32), params, batch, self.cfg)
 
 
 def scan_time_major(step_fn, carry_init, xs_btx: tuple, mask: jax.Array | None = None):

@@ -106,6 +106,8 @@ class Trainer:
     def _build_step(self, example_batch: Batch):
         model, loss_fn, optimizer = self.model, self.loss_fn, self.optimizer
         cfg = self.cfg
+        n_model = self.mesh.shape[mesh_lib.MODEL_AXIS]
+        a2a_shards = n_model if (cfg.mesh.embedding_mode == "a2a" and n_model > 1) else 1
 
         def step_fn(state: TrainState, batch: Batch):
             rng = jax.random.fold_in(state.rng, state.step)
@@ -123,6 +125,17 @@ class Trainer:
                 "grad_norm": optax.global_norm(grads),
                 "param_norm": optax.global_norm(params),
             }
+            if a2a_shards > 1:
+                # MoE-style capacity guard (SURVEY.md §7 "ragged all-to-all"):
+                # fraction of ids that would overflow the fixed a2a buckets.
+                from poi_tpu.ops.embedding import lookup_overflow_fraction
+
+                metrics["a2a_overflow"] = lookup_overflow_fraction(
+                    batch.poi_in,
+                    a2a_shards,
+                    self.dims.num_pois_padded // a2a_shards,
+                    cfg.mesh.a2a_capacity_factor,
+                )
             new_state = TrainState(state.step + 1, params, opt_state, state.rng)
             return new_state, metrics
 
@@ -130,9 +143,10 @@ class Trainer:
         abstract_state = jax.eval_shape(self.init_state)
         st_shard = state_shardings(abstract_state, self.mesh, self.dims.num_pois_padded)
         b_shard = batch_shardings(example_batch, self.mesh)
-        m_shard = replicated_shardings(
-            {"loss": 0.0, "grad_norm": 0.0, "param_norm": 0.0}, self.mesh
-        )
+        metric_keys = {"loss": 0.0, "grad_norm": 0.0, "param_norm": 0.0}
+        if a2a_shards > 1:
+            metric_keys["a2a_overflow"] = 0.0
+        m_shard = replicated_shardings(metric_keys, self.mesh)
         return jax.jit(
             step_fn,
             in_shardings=(st_shard, b_shard),
