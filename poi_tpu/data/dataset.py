@@ -79,6 +79,15 @@ class Dataset:
     poi_counts: np.ndarray  # [num_pois] train-split popularity (for baselines/sampling)
     tgap_edges: np.ndarray = field(default=None)  # quantile bucket edges (seconds)
     dist_edges: np.ndarray = field(default=None)  # quantile bucket edges (km)
+    # Featurizer parameters needed to embed NEW histories at serving time
+    # (eval/serve.py): geo grid bounds (lat_lo, lat_hi, lon_lo, lon_hi),
+    # grid resolution, time bucket count, and max_seq_len.
+    geo_bounds: tuple = field(default=None)
+    geo_grid: int = 0
+    time_buckets: int = 0
+    max_seq_len: int = 0
+    # Raw POI coordinates (for distance features on new histories).
+    poi_latlon: np.ndarray = field(default=None)  # [num_pois, 2] float32
 
 
 def build_dataset(table: CheckinTable, cfg: DataConfig, use_native: bool = True) -> Dataset:
@@ -121,6 +130,7 @@ def build_dataset(table: CheckinTable, cfg: DataConfig, use_native: bool = True)
     # --- features: hour-of-week and geo grid cell -------------------------- #
     hour_of_week = ((ts // 3600) % (24 * 7)).astype(np.int64)
     time_bucket = (hour_of_week * cfg.time_buckets // (24 * 7)).astype(np.int32)
+    geo_bounds = (float(lat.min()), float(lat.max()), float(lon.min()), float(lon.max()))
     lat_q = _quantize(lat, cfg.geo_grid)
     lon_q = _quantize(lon, cfg.geo_grid)
     geo_bucket = (lat_q * cfg.geo_grid + lon_q).astype(np.int32)
@@ -173,7 +183,20 @@ def build_dataset(table: CheckinTable, cfg: DataConfig, use_native: bool = True)
         poi_counts=poi_counts,
         tgap_edges=tgap_edges,
         dist_edges=dist_edges,
+        geo_bounds=geo_bounds,
+        geo_grid=cfg.geo_grid,
+        time_buckets=cfg.time_buckets,
+        max_seq_len=cfg.max_seq_len,
+        poi_latlon=_poi_coords(poi, lat, lon, num_pois),
     )
+
+
+def _poi_coords(poi, lat, lon, num_pois) -> np.ndarray:
+    """Representative (lat, lon) per POI id (last observed check-in wins)."""
+    out = np.zeros((num_pois, 2), np.float32)
+    out[poi, 0] = lat
+    out[poi, 1] = lon
+    return out
 
 
 def bucketize_interp(x: np.ndarray, edges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -62,10 +62,18 @@ def prepare_catalog(params: dict, cfg: Config, poi_counts: np.ndarray | None):
     return jax.block_until_ready((table, bias)), order
 
 
+# jit closures cached per (model, impl, k): periodic in-training evals must
+# not recompile every sweep.
+_TOPK_CACHE: dict = {}
+
+
 def make_topk_fn(model, cfg: Config, k: int):
     """jit'd (params, table, bias, batch) -> [B, k] candidate ids (in the
     prepared table's id space)."""
     impl = cfg.eval.topk_impl
+    key = (id(model), impl, k)
+    if key in _TOPK_CACHE:
+        return _TOPK_CACHE[key]
 
     @jax.jit
     def fn(params, table, bias, batch):
@@ -75,6 +83,7 @@ def make_topk_fn(model, cfg: Config, k: int):
         scores = full_logits(ql, table, bias)  # [B, V]
         return jax.lax.top_k(scores, k)[1]
 
+    _TOPK_CACHE[key] = fn
     return fn
 
 

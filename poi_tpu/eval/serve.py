@@ -1,0 +1,121 @@
+"""Online serving: raw check-in histories → top-k POI recommendations.
+
+The reference family stops at offline metric prints; a production framework
+needs the forward path packaged for serving. ``Recommender`` closes over a
+trained (model, params) pair plus the dataset's featurizer parameters
+(geo-grid bounds, time buckets, ST-RNN quantile edges — persisted on
+``Dataset``), featurizes new histories exactly like training data, and runs
+the batched fused top-k scorer. Already-visited POIs can be excluded
+(standard next-POI protocol) by over-fetching and post-filtering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from poi_tpu.data.dataset import Dataset, bucketize_interp, haversine_km
+from poi_tpu.data.pipeline import Batch
+from poi_tpu.eval.evaluate import make_topk_fn, prepare_catalog
+from poi_tpu.utils.config import Config
+
+
+@dataclass
+class Checkin:
+    poi: int
+    timestamp: float
+    lat: float | None = None  # None → use the catalog's POI coordinates
+    lon: float | None = None
+
+
+class Recommender:
+    def __init__(self, model, params: dict, cfg: Config, dataset: Dataset):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.ds = dataset
+        self.T = dataset.max_seq_len
+        (self._table, self._bias), self._order = prepare_catalog(params, cfg, dataset.poi_counts)
+        self._order_np = None if self._order is None else np.asarray(self._order)
+
+    # ----------------------------------------------------------- featurize
+    def _featurize(self, histories: list[list[Checkin]]) -> Batch:
+        ds, T = self.ds, self.T
+        B = len(histories)
+        lat_lo, lat_hi, lon_lo, lon_hi = ds.geo_bounds
+        g = ds.geo_grid
+
+        poi_in = np.zeros((B, T), np.int32)
+        mask = np.zeros((B, T), np.float32)
+        timeb = np.zeros((B, T), np.int32)
+        geob = np.zeros((B, T), np.int32)
+        tgap = np.zeros((B, T), np.float64)
+        dist = np.zeros((B, T), np.float64)
+
+        for b, hist in enumerate(histories):
+            if not hist:
+                raise ValueError("empty history")
+            hist = hist[-T:]
+            n = len(hist)
+            for t, c in enumerate(hist):
+                lat = c.lat if c.lat is not None else float(ds.poi_latlon[c.poi, 0])
+                lon = c.lon if c.lon is not None else float(ds.poi_latlon[c.poi, 1])
+                poi_in[b, t] = c.poi
+                how = (c.timestamp // 3600) % (24 * 7)
+                timeb[b, t] = int(how * ds.time_buckets // (24 * 7))
+                lq = np.clip((lat - lat_lo) / max(lat_hi - lat_lo, 1e-9) * g, 0, g - 1)
+                oq = np.clip((lon - lon_lo) / max(lon_hi - lon_lo, 1e-9) * g, 0, g - 1)
+                geob[b, t] = int(lq) * g + int(oq)
+                if t > 0:
+                    prev = hist[t - 1]
+                    plat = prev.lat if prev.lat is not None else float(ds.poi_latlon[prev.poi, 0])
+                    plon = prev.lon if prev.lon is not None else float(ds.poi_latlon[prev.poi, 1])
+                    tgap[b, t] = c.timestamp - prev.timestamp
+                    dist[b, t] = float(haversine_km(plat, plon, lat, lon))
+            mask[b, n - 1] = 1.0  # score at the final position
+
+        ti, tf = bucketize_interp(tgap, ds.tgap_edges)
+        di, df = bucketize_interp(dist, ds.dist_edges)
+        return Batch(
+            user=np.zeros(B, np.int32),
+            poi_in=poi_in,
+            poi_tgt=np.zeros((B, T), np.int32),
+            mask=mask,
+            time_bucket=timeb,
+            geo_bucket=geob,
+            tgap_idx=ti.astype(np.int32),
+            tgap_frac=tf.astype(np.float32),
+            dist_idx=di.astype(np.int32),
+            dist_frac=df.astype(np.float32),
+        )
+
+    # ------------------------------------------------------------ recommend
+    def recommend(
+        self,
+        histories: list[list[Checkin]],
+        k: int = 10,
+        user_ids: list[int] | None = None,
+        exclude_visited: bool = True,
+    ) -> np.ndarray:
+        """[B, k] recommended POI ids, best first."""
+        batch = self._featurize(histories)
+        if user_ids is not None:
+            batch = batch._replace(user=np.asarray(user_ids, np.int32))
+        max_hist = max(len(h) for h in histories)
+        fetch = k + (max_hist if exclude_visited else 0)
+        topk_fn = make_topk_fn(self.model, self.cfg, fetch)
+        ids = np.asarray(topk_fn(self.params, self._table, self._bias, batch))
+        if self._order_np is not None:
+            ids = self._order_np[ids]
+        if not exclude_visited:
+            return ids[:, :k]
+        out = np.zeros((len(histories), k), np.int32)
+        for b, hist in enumerate(histories):
+            visited = {c.poi for c in hist}
+            picked = [i for i in ids[b] if i not in visited][:k]
+            # Backfill (tiny catalogs): keep visited if nothing else remains.
+            while len(picked) < k:
+                picked.append(int(ids[b, len(picked) % ids.shape[1]]))
+            out[b] = picked
+        return out
