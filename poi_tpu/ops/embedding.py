@@ -165,6 +165,23 @@ def lookup_overflow_fraction(ids: jax.Array, num_shards: int, rows_per_shard: in
     return jnp.sum(over) / jnp.maximum(n, 1)
 
 
+def make_replicated_lookup(mesh: Mesh) -> Callable:
+    """Lookup for ids replicated across the mesh (e.g. a shared negative
+    pool): psum over 'model', identical on every device."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def lookup(table, ids):
+        return _psum_lookup_local(table, ids)
+
+    return lookup
+
+
 def make_lookup(mesh: Mesh, mode: str, capacity_factor: float = 2.0) -> Callable:
     if mesh.shape[MODEL_AXIS] == 1 or mode == "dense":
         return lambda table, ids: jnp.take(table, ids, axis=0)

@@ -71,6 +71,70 @@ def _sharded_ce_local(
     return num / jnp.maximum(den, 1.0)
 
 
+def make_sharded_bpr(mesh: Mesh, lookup: Callable, num_negatives: int, num_pois: int) -> Callable:
+    """BPR over a vocab-sharded table: positive/negative embedding rows and
+    bias entries come through the sharded ``lookup`` (psum or a2a routing);
+    the pairwise scores themselves are local to each data shard. Matches
+    ``train.losses.bpr_loss`` exactly for the same rng."""
+
+    def loss(q, table, bias, targets, mask, rng):
+        B, T = targets.shape
+        neg = jax.random.randint(rng, (B, T, num_negatives), 0, num_pois)
+        bias2d = bias[:, None]  # lookup expects a [V, D] table
+        e_pos = lookup(table, targets)  # [B, T, D]
+        e_neg = lookup(table, neg.reshape(B, -1)).reshape(B, T, num_negatives, -1)
+        b_pos = lookup(bias2d, targets)[..., 0]
+        b_neg = lookup(bias2d, neg.reshape(B, -1)).reshape(B, T, num_negatives)
+        s_pos = jnp.einsum("btd,btd->bt", q, e_pos, preferred_element_type=jnp.float32) + b_pos
+        s_neg = jnp.einsum("btd,btnd->btn", q, e_neg, preferred_element_type=jnp.float32) + b_neg
+        diff = s_pos[..., None] - s_neg
+        pair_ok = (neg != targets[..., None]) & mask[..., None].astype(bool)
+        losses = -jax.nn.log_sigmoid(diff)
+        m = pair_ok.astype(jnp.float32)
+        return jnp.sum(losses * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    return loss
+
+
+def make_sharded_sampled_softmax(mesh: Mesh, lookup: Callable, num_sampled: int, num_pois: int) -> Callable:
+    """Sampled softmax over a vocab-sharded table: positives come through the
+    data-sharded ``lookup``; the shared negative pool (replicated across the
+    mesh) comes through a replicated psum lookup. The [B, T, 1+S] logits are
+    local to each data shard — no vocab-wide matmul. Matches
+    ``train.losses.sampled_softmax_loss`` for the same rng."""
+    from poi_tpu.ops.embedding import make_replicated_lookup
+
+    rep_lookup = make_replicated_lookup(mesh)
+
+    def loss(q, table, bias, targets, mask, rng):
+        B, T = targets.shape
+        neg = jax.random.randint(rng, (num_sampled,), 0, num_pois)
+        bias2d = bias[:, None]
+        e_neg = rep_lookup(table, neg)  # [S, D]
+        e_pos = lookup(table, targets)  # [B, T, D]
+        b_neg = rep_lookup(bias2d, neg)[:, 0]
+        b_pos = lookup(bias2d, targets)[..., 0]
+        s_pos = jnp.einsum("btd,btd->bt", q, e_pos, preferred_element_type=jnp.float32) + b_pos
+        s_neg = (
+            jnp.einsum(
+                "btd,sd->bts",
+                q.astype(jnp.bfloat16),
+                e_neg.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            + b_neg
+        )
+        s_neg = s_neg - jnp.log(num_sampled / num_pois)
+        hit = neg[None, None, :] == targets[..., None]
+        s_neg = jnp.where(hit, NEG, s_neg)
+        logits = jnp.concatenate([s_pos[..., None], s_neg], axis=-1)
+        nll = jax.nn.logsumexp(logits, axis=-1) - s_pos
+        m = mask.astype(jnp.float32)
+        return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    return loss
+
+
 def make_sharded_ce(mesh: Mesh) -> Callable:
     """loss(q, table, bias, targets, mask, rng) — same signature as the dense
     losses in train/losses.py (rng unused), drop-in for the Trainer."""

@@ -77,11 +77,21 @@ class Trainer:
             )
         loss_fn = self.loss_override
         if loss_fn is None:
-            if n_model > 1 and self.cfg.loss.kind == "ce":
-                from poi_tpu.ops.sharded_loss import make_sharded_ce
+            if n_model > 1:
+                from poi_tpu.ops import sharded_loss
 
-                loss_fn = make_sharded_ce(self.mesh)
-            else:
+                kind = self.cfg.loss.kind
+                if kind == "ce":
+                    loss_fn = sharded_loss.make_sharded_ce(self.mesh)
+                elif kind == "bpr":
+                    loss_fn = sharded_loss.make_sharded_bpr(
+                        self.mesh, lookup, self.cfg.loss.num_negatives, self.dims.num_pois
+                    )
+                elif kind == "sampled_softmax":
+                    loss_fn = sharded_loss.make_sharded_sampled_softmax(
+                        self.mesh, lookup, self.cfg.loss.num_sampled, self.dims.num_pois
+                    )
+            if loss_fn is None:
                 loss_fn = build_loss_fn(self.cfg.loss, self.dims.num_pois)
         self.loss_fn = loss_fn
         self.optimizer = make_optimizer(self.cfg.train)

@@ -165,3 +165,61 @@ def test_tp_train_step_matches_dp_only(embedding_mode, eight_devices):
     np.testing.assert_allclose(float(m_tp["loss"]), float(m_dp["loss"]), rtol=1e-3)
     for a, b in zip(jax.tree.leaves(s_tp2.params), jax.tree.leaves(s_dp2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-2)
+
+
+def test_sharded_bpr_equals_dense(mesh42):
+    from poi_tpu.ops import embedding as emb_mod
+    from poi_tpu.ops.sharded_loss import make_sharded_bpr
+
+    rng = np.random.default_rng(7)
+    B, T, N = 8, 3, 4
+    q = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    table = _table(rng)
+    bias = jnp.asarray(rng.normal(size=(V,)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, V, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T))
+    key = jax.random.key(3)
+    lookup = emb_mod.make_psum_lookup(mesh42)
+    got = make_sharded_bpr(mesh42, lookup, N, V)(q, table, bias, y, mask, key)
+    want = dense_losses.bpr_loss(q, table, bias, y, mask, key, N, V)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_sharded_sampled_softmax_equals_dense(mesh42):
+    from poi_tpu.ops import embedding as emb_mod
+    from poi_tpu.ops.sharded_loss import make_sharded_sampled_softmax
+
+    rng = np.random.default_rng(8)
+    B, T, S = 8, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    table = _table(rng)
+    bias = jnp.asarray(rng.normal(size=(V,)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, V, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T))
+    key = jax.random.key(4)
+    lookup = emb_mod.make_psum_lookup(mesh42)
+    got = make_sharded_sampled_softmax(mesh42, lookup, S, V)(q, table, bias, y, mask, key)
+    want = dense_losses.sampled_softmax_loss(q, table, bias, y, mask, key, S, V)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+
+
+def test_sharded_losses_grads_finite(mesh42):
+    from poi_tpu.ops import embedding as emb_mod
+    from poi_tpu.ops.sharded_loss import make_sharded_bpr, make_sharded_sampled_softmax
+
+    rng = np.random.default_rng(9)
+    B, T = 8, 2
+    q = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    table = _table(rng)
+    bias = jnp.zeros((V,))
+    y = jnp.asarray(rng.integers(0, V, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T))
+    key = jax.random.key(5)
+    lookup = emb_mod.make_psum_lookup(mesh42)
+    for fn in (
+        make_sharded_bpr(mesh42, lookup, 2, V),
+        make_sharded_sampled_softmax(mesh42, lookup, 16, V),
+    ):
+        g = jax.grad(lambda t: fn(q, t, bias, y, mask, key))(table)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).sum() > 0
