@@ -38,6 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     p_train.add_argument("--checkpoint-dir", default=None, help="override checkpoint directory")
     p_train.add_argument("--no-checkpoint", action="store_true")
     p_train.add_argument("--metrics-dir", default=None)
+    p_train.add_argument("--tensorboard", action="store_true", help="also write TB scalars under metrics-dir/tb")
     p_train.add_argument("--profile-dir", default=None, help="trace steps 10..15 to this dir")
 
     p_eval = sub.add_parser("eval", help="evaluate a checkpoint")
@@ -74,13 +75,20 @@ def main(argv: list[str] | None = None) -> int:
             enable_checkpoint=not args.no_checkpoint,
             metrics_dir=args.metrics_dir,
             profile_dir=args.profile_dir,
+            tensorboard=args.tensorboard,
         )
     if args.cmd == "eval":
         return run_eval(cfg)
     return 1
 
 
-def run_train(cfg, enable_checkpoint: bool = True, metrics_dir: str | None = None, profile_dir: str | None = None) -> int:
+def run_train(
+    cfg,
+    enable_checkpoint: bool = True,
+    metrics_dir: str | None = None,
+    profile_dir: str | None = None,
+    tensorboard: bool = False,
+) -> int:
     from poi_tpu.data.dataset import load_dataset
     from poi_tpu.data.pipeline import TrainLoader
     from poi_tpu.eval.evaluate import evaluate, popularity_baseline
@@ -114,7 +122,7 @@ def run_train(cfg, enable_checkpoint: bool = True, metrics_dir: str | None = Non
             state, _loader_state = ckpt.restore(abstract_like(state, sh))
             log.info("resumed from checkpoint step %d", latest)
 
-    metrics = MetricsLogger(metrics_dir)
+    metrics = MetricsLogger(metrics_dir, tensorboard=tensorboard)
     pw = profile_window(profile_dir, 10, 15)
 
     def callback(step, st, m):

@@ -138,10 +138,19 @@ def synthesize_checkins(
 # --------------------------------------------------------------------------- #
 
 
+def _open_text(path: str):
+    """Open plain or gzip-compressed text (the public dumps ship as .gz)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rt", encoding="utf-8", errors="replace")
+    return open(path, "r", encoding="utf-8", errors="replace")
+
+
 def parse_gowalla(path: str, max_rows: int | None = None) -> CheckinTable:
     """Parse the SNAP Gowalla ``totalCheckins`` TSV layout."""
     users, pois, ts, lats, lons = [], [], [], [], []
-    with open(path, "r", encoding="utf-8", errors="replace") as f:
+    with _open_text(path) as f:
         for i, line in enumerate(f):
             if max_rows is not None and i >= max_rows:
                 break
@@ -161,7 +170,7 @@ def parse_foursquare(path: str, max_rows: int | None = None) -> CheckinTable:
     """Parse the TSMC2014 Foursquare TSV layout (NYC/TKY dumps)."""
     users, pois, ts, lats, lons = [], [], [], [], []
     venue_ids: dict[str, int] = {}
-    with open(path, "r", encoding="utf-8", errors="replace") as f:
+    with _open_text(path) as f:
         for i, line in enumerate(f):
             if max_rows is not None and i >= max_rows:
                 break

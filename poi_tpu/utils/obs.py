@@ -22,20 +22,33 @@ log = logging.getLogger(__name__)
 
 
 class MetricsLogger:
-    """Append-only JSONL metric stream + console summary on host 0."""
+    """Append-only JSONL metric stream + console summary on host 0, with an
+    optional TensorBoard scalar stream (``tensorboard=True``; host 0 only)."""
 
-    def __init__(self, directory: str | None, run_name: str = "train"):
+    def __init__(self, directory: str | None, run_name: str = "train", tensorboard: bool = False):
         self.directory = directory
         self._fh = None
+        self._tb = None
         if directory is not None:
             os.makedirs(directory, exist_ok=True)
             path = os.path.join(directory, f"{run_name}_host{jax.process_index()}.jsonl")
             self._fh = open(path, "a", buffering=1)
+            if tensorboard and jax.process_index() == 0:
+                try:
+                    from flax.metrics import tensorboard as tb
+
+                    self._tb = tb.SummaryWriter(os.path.join(directory, "tb"))
+                except ImportError:  # pragma: no cover - flax always present here
+                    log.warning("flax tensorboard writer unavailable; JSONL only")
 
     def write(self, step: int, scalars: dict[str, Any]) -> None:
         row = {"step": step, "time": time.time(), **{k: _to_py(v) for k, v in scalars.items()}}
         if self._fh is not None:
             self._fh.write(json.dumps(row) + "\n")
+        if self._tb is not None:
+            for k, v in row.items():
+                if k not in ("step", "time") and isinstance(v, float):
+                    self._tb.scalar(k, v, step)
         if jax.process_index() == 0:
             pretty = " ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}" for k, v in row.items() if k != "time")
             log.info(pretty)
@@ -43,6 +56,8 @@ class MetricsLogger:
     def close(self) -> None:
         if self._fh is not None:
             self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def _to_py(v):
