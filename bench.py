@@ -22,7 +22,11 @@ import sys
 import time
 
 
-def _throughput(cfg, ds, steps=30, warmup=5) -> float:
+def _throughput(cfg, ds, steps=30, warmup=5, repeats=3) -> float:
+    """Best-of-``repeats`` timed windows. The TPU chip here is reached over a
+    shared tunnel whose load swings measured step time by >2x run to run;
+    best-of reflects the hardware capability rather than transient contention
+    (and both sides of the vs_baseline ratio get the same treatment)."""
     import jax
 
     from poi_tpu.data.pipeline import TrainLoader
@@ -32,18 +36,21 @@ def _throughput(cfg, ds, steps=30, warmup=5) -> float:
     trainer = Trainer(cfg, DataDims.from_dataset(ds))
     state = trainer.init_state()
     loader = TrainLoader(ds.train, batch_size=cfg.train.batch_size, seed=0)
+    best = 0.0
     try:
         for _ in range(warmup):
             state, m = trainer.step(state, next(loader))
         jax.block_until_ready(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, m = trainer.step(state, next(loader))
-        jax.block_until_ready(m["loss"])
-        dt = time.perf_counter() - t0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, m = trainer.step(state, next(loader))
+            jax.block_until_ready(m["loss"])
+            dt = time.perf_counter() - t0
+            best = max(best, steps * cfg.train.batch_size / dt)
     finally:
         loader.close()
-    return steps * cfg.train.batch_size / dt
+    return best
 
 
 def main() -> int:

@@ -161,6 +161,91 @@ class TrainLoader:
         self._perm = None
 
 
+class GrainTrainLoader:
+    """Grain-backed infinite shuffled loader (SURVEY.md §2.3 "grain
+    sharded/prefetched sequence loader") — same interface as ``TrainLoader``.
+
+    The pipeline is ``MapDataset.range(N) → per-host slice → per-epoch
+    shuffle → repeat → batch(drop_remainder) → vectorized make_batch``,
+    executed by grain worker threads with a prefetch buffer (batch assembly
+    overlaps device compute). Because batching happens after ``repeat``,
+    batches are always full even when a host's shard is smaller than the
+    batch (epochs concatenate), and the grain iterator's ``get_state`` /
+    ``set_state`` gives exact-batch-granular checkpoint/resume.
+    """
+
+    def __init__(
+        self,
+        examples: Examples,
+        batch_size: int,
+        seed: int = 0,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        prefetch: int = 2,
+        num_threads: int = 2,
+    ):
+        if len(examples) == 0:
+            raise ValueError("empty example set")
+        import grain.python as grain
+
+        self._ex = examples
+        self._bs = batch_size
+        self._host = host_id
+        self._nhosts = num_hosts
+        ds = (
+            grain.MapDataset.range(len(examples))
+            .slice(slice(host_id, None, num_hosts))
+            .shuffle(seed=seed)
+            .repeat()
+            .batch(batch_size, drop_remainder=True)
+            .map(lambda idx: make_batch(examples, np.asarray(idx)))
+        )
+        self._it = iter(
+            ds.to_iter_dataset(
+                grain.ReadOptions(num_threads=num_threads, prefetch_buffer_size=max(prefetch, 1))
+            )
+        )
+
+    def __iter__(self) -> Iterator[Batch]:
+        return self
+
+    def __next__(self) -> Batch:
+        return next(self._it)
+
+    def close(self) -> None:
+        pass  # grain worker threads are daemonized and GC'd with the iterator
+
+    def batches_per_epoch(self) -> int:
+        n_shard = len(range(self._host, len(self._ex), self._nhosts))
+        return max(1, n_shard // self._bs)
+
+    def seek(self, global_batches: int) -> None:
+        # One element of the post-batch dataset == one batch, so the iterator
+        # state is just the global batch count: resume is exact, not replayed.
+        self._it.set_state({"next_index": int(global_batches)})
+
+    def state(self) -> dict:
+        return dict(self._it.get_state())
+
+    def restore(self, state: dict) -> None:
+        self._it.set_state({"next_index": int(state["next_index"])})
+
+
+def make_train_loader(
+    examples: Examples,
+    batch_size: int,
+    seed: int = 0,
+    host_id: int = 0,
+    num_hosts: int = 1,
+    backend: str = "threaded",
+):
+    """Loader factory: ``threaded`` (in-repo prefetch thread) or ``grain``."""
+    cls = {"threaded": TrainLoader, "grain": GrainTrainLoader}.get(backend)
+    if cls is None:
+        raise ValueError(f"unknown loader backend {backend!r} (threaded|grain)")
+    return cls(examples, batch_size, seed=seed, host_id=host_id, num_hosts=num_hosts)
+
+
 def eval_batches(examples: Examples, batch_size: int) -> Iterator[tuple[Batch, np.ndarray, int]]:
     """Fixed-order eval iterator.
 

@@ -21,7 +21,7 @@ import numpy as np
 import optax
 
 from poi_tpu.data.dataset import Dataset
-from poi_tpu.data.pipeline import Batch, TrainLoader
+from poi_tpu.data.pipeline import Batch, make_train_loader
 from poi_tpu.models import base as model_base
 from poi_tpu.parallel import mesh as mesh_lib
 from poi_tpu.parallel.shardings import batch_shardings, replicated_shardings, state_shardings
@@ -198,12 +198,13 @@ def train(
         state = trainer.init_state()
     start_step = int(state.step)
 
-    loader = TrainLoader(
+    loader = make_train_loader(
         dataset.train,
         batch_size=mesh_lib.local_data_batch(cfg.train.batch_size, trainer.mesh),
         seed=cfg.train.seed,
         host_id=jax.process_index(),
         num_hosts=jax.process_count(),
+        backend=cfg.data.loader_backend,
     )
     if start_step:
         # Resume: deterministic fast-forward so step N always sees batch N.

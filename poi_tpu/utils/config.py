@@ -37,6 +37,7 @@ class DataConfig:
     time_gap_buckets: int = 8
     dist_buckets: int = 8
     seed: int = 0
+    loader_backend: str = "threaded"  # threaded | grain (data/pipeline.py)
 
 
 @dataclass(frozen=True)

@@ -148,3 +148,52 @@ def test_parsers_roundtrip(tmp_path):
     )
     t2 = checkins.parse_foursquare(str(p2))
     assert len(t2) == 1 and abs(t2.lat[0] - 40.71) < 1e-5
+
+
+# ---------------------------------------------------------------- grain loader
+
+
+def test_grain_loader_determinism_and_coverage(small_ds):
+    l1 = pipeline.make_train_loader(small_ds.train, batch_size=8, seed=3, backend="grain")
+    l2 = pipeline.make_train_loader(small_ds.train, batch_size=8, seed=3, backend="grain")
+    seen = set()
+    for _ in range(l1.batches_per_epoch()):
+        b1, b2 = next(l1), next(l2)
+        assert np.array_equal(b1.poi_in, b2.poi_in)
+        seen.update(b1.user.tolist())
+    # One epoch covers a large share of distinct users (shuffled w/o replacement).
+    assert len(seen) > 0.5 * len(set(small_ds.train.user.tolist()))
+    l1.close(), l2.close()
+
+
+def test_grain_loader_host_sharding_disjoint(small_ds):
+    l0 = pipeline.make_train_loader(
+        small_ds.train, batch_size=4, seed=3, host_id=0, num_hosts=2, backend="grain"
+    )
+    l1 = pipeline.make_train_loader(
+        small_ds.train, batch_size=4, seed=3, host_id=1, num_hosts=2, backend="grain"
+    )
+    b0, b1 = next(l0), next(l1)
+    assert not np.array_equal(b0.poi_in, b1.poi_in)
+    l0.close(), l1.close()
+
+
+def test_grain_loader_seek_and_state_resume(small_ds):
+    l1 = pipeline.make_train_loader(small_ds.train, batch_size=8, seed=5, backend="grain")
+    for _ in range(3):
+        next(l1)
+    st = l1.state()
+    ref = next(l1)
+    l2 = pipeline.make_train_loader(small_ds.train, batch_size=8, seed=5, backend="grain")
+    l2.restore(st)
+    assert np.array_equal(next(l2).poi_in, ref.poi_in)
+    # seek(N) == consume N batches from scratch (grain state is exact).
+    l3 = pipeline.make_train_loader(small_ds.train, batch_size=8, seed=5, backend="grain")
+    l3.seek(3)
+    assert np.array_equal(next(l3).poi_in, ref.poi_in)
+    l1.close(), l2.close(), l3.close()
+
+
+def test_make_train_loader_rejects_unknown_backend(small_ds):
+    with pytest.raises(ValueError, match="loader backend"):
+        pipeline.make_train_loader(small_ds.train, batch_size=8, backend="spark")
