@@ -223,14 +223,24 @@ class SequenceModel:
             return add_user_query(q.astype(jnp.float32), params, batch, self.cfg)
 
 
-def scan_time_major(step_fn, carry_init, xs_btx: tuple, mask: jax.Array | None = None):
+def scan_time_major(
+    step_fn, carry_init, xs_btx: tuple, mask: jax.Array | None = None, remat: bool = False
+):
     """Run ``step_fn`` over the time axis of [B, T, ...] arrays via lax.scan.
 
     ``step_fn(carry, xs_t) -> (carry, h_t)``. When ``mask`` is given, padded
     steps pass the carry through unchanged (functional equivalent of the
     reference's ragged per-user loops, but compiled once with static shapes).
     Returns [B, T, H] stacked outputs.
+
+    ``remat=True`` wraps the cell in ``jax.checkpoint``: the backward pass
+    recomputes per-step gate intermediates from the carried state instead of
+    storing them for all T — O(T·B·H) saved residual memory shrinks to the
+    stacked outputs alone, trading a second cell evaluation per step
+    (SURVEY.md §5 "long-context": optional remat on the cell for long T).
     """
+    if remat:
+        step_fn = jax.checkpoint(step_fn)
     xs_tb = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), xs_btx)
 
     if mask is not None:

@@ -25,7 +25,7 @@ def init_gru_layer(rng: jax.Array, d_in: int, d_h: int) -> dict:
     }
 
 
-def gru_layer(p: dict, x: jax.Array, mask: jax.Array | None, dtype) -> jax.Array:
+def gru_layer(p: dict, x: jax.Array, mask: jax.Array | None, dtype, remat: bool = False) -> jax.Array:
     """[B, T, D] → [B, T, H]."""
     B, T, _ = x.shape
     H = p["wh"].shape[0]
@@ -47,7 +47,7 @@ def gru_layer(p: dict, x: jax.Array, mask: jax.Array | None, dtype) -> jax.Array
         return h_new, h_new
 
     h0 = jnp.zeros((B, H), jnp.float32)
-    return base.scan_time_major(step, h0, xw, mask)
+    return base.scan_time_major(step, h0, xw, mask, remat=remat)
 
 
 @register_model("gru")
@@ -69,5 +69,5 @@ class GRUModel(base.SequenceModel):
         mask = batch.mask
         h = x
         for p in tower_params["layers"]:
-            h = gru_layer(p, h, mask, dtype)
+            h = gru_layer(p, h, mask, dtype, remat=self.cfg.remat_cell)
         return h

@@ -27,7 +27,7 @@ def init_lstm_layer(rng: jax.Array, d_in: int, d_h: int) -> dict:
     }
 
 
-def lstm_layer(p: dict, x: jax.Array, mask: jax.Array | None, dtype) -> jax.Array:
+def lstm_layer(p: dict, x: jax.Array, mask: jax.Array | None, dtype, remat: bool = False) -> jax.Array:
     B, T, _ = x.shape
     H = p["wh"].shape[0]
     xw = (
@@ -50,7 +50,7 @@ def lstm_layer(p: dict, x: jax.Array, mask: jax.Array | None, dtype) -> jax.Arra
         return {"h": h_new, "c": c_new}, h_new
 
     carry0 = {"h": jnp.zeros((B, H), jnp.float32), "c": jnp.zeros((B, H), jnp.float32)}
-    return base.scan_time_major(step, carry0, xw, mask)
+    return base.scan_time_major(step, carry0, xw, mask, remat=remat)
 
 
 @register_model("lstm")
@@ -69,5 +69,5 @@ class LSTMModel(base.SequenceModel):
         dtype = base.compute_dtype(self.cfg)
         h = x
         for p in tower_params["layers"]:
-            h = lstm_layer(p, h, batch.mask, dtype)
+            h = lstm_layer(p, h, batch.mask, dtype, remat=self.cfg.remat_cell)
         return h

@@ -98,4 +98,4 @@ class STRNNModel(base.SequenceModel):
             return h_new, h_new
 
         h0 = jnp.zeros((B, cfg.hidden_dim), jnp.float32)
-        return base.scan_time_major(step, h0, xin, batch.mask)
+        return base.scan_time_major(step, h0, xin, batch.mask, remat=cfg.remat_cell)

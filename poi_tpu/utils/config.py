@@ -60,6 +60,9 @@ class ModelConfig:
     attn_block_size: int = 128
     # Compute dtype for the tower (params stay fp32).
     compute_dtype: str = "bfloat16"
+    # jax.checkpoint the recurrent cell: O(T) gate residuals -> recompute in
+    # backward; enables long-T training in fixed memory (SURVEY.md §5).
+    remat_cell: bool = False
 
 
 @dataclass(frozen=True)

@@ -151,3 +151,29 @@ def test_attention_model_vanilla_equals_blockwise():
         params = model.init(jax.random.key(3))
         qs[impl] = np.asarray(model.queries(params, batch))
     np.testing.assert_allclose(qs["vanilla"], qs["blockwise"], atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["gru", "lstm", "strnn"])
+def test_remat_cell_gradients_match(kind):
+    """jax.checkpoint on the scan cell must not change values or gradients."""
+    import chex
+
+    from poi_tpu.train.losses import build_loss_fn
+    from poi_tpu.utils.config import LossConfig
+
+    batch = rand_batch(np.random.default_rng(0), B=4, T=6)
+    loss_fn = build_loss_fn(LossConfig(kind="ce"), DIMS.num_pois)
+    results = {}
+    for remat in (False, True):
+        cfg = ModelConfig(kind=kind, embed_dim=8, hidden_dim=8,
+                          compute_dtype="float32", remat_cell=remat)
+        model = mb.build_model(cfg, DIMS)
+        params = model.init(jax.random.key(0))
+
+        def loss(p):
+            q = model.queries(p, batch)
+            table, bias = mb.output_table(p, cfg)
+            return loss_fn(q, table, bias, batch.poi_tgt, batch.mask, jax.random.key(1))
+
+        results[remat] = (loss(params), jax.grad(loss)(params))
+    chex.assert_trees_all_close(results[False], results[True], rtol=2e-5, atol=2e-6)
