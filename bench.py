@@ -26,9 +26,13 @@ def _throughput(cfg, ds, steps=30, warmup=5, repeats=3) -> float:
     """Best-of-``repeats`` timed windows. The TPU chip here is reached over a
     shared tunnel whose load swings measured step time by >2x run to run;
     best-of reflects the hardware capability rather than transient contention
-    (and both sides of the vs_baseline ratio get the same treatment)."""
-    import jax
+    (and both sides of the vs_baseline ratio get the same treatment).
 
+    Synchronization: on this remote-TPU backend ``block_until_ready`` returns
+    before remote execution finishes (measured: an 8k x 8k matmul "completes"
+    in 60 us that way). The only honest fence is a device->host transfer, so
+    every timed window ends with ``float(loss)`` — the scalar's value depends
+    on all ``steps`` chained train steps, so its arrival proves they ran."""
     from poi_tpu.data.pipeline import TrainLoader
     from poi_tpu.models.base import DataDims
     from poi_tpu.train.loop import Trainer
@@ -40,12 +44,12 @@ def _throughput(cfg, ds, steps=30, warmup=5, repeats=3) -> float:
     try:
         for _ in range(warmup):
             state, m = trainer.step(state, next(loader))
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # drain the async dispatch queue
         for _ in range(repeats):
             t0 = time.perf_counter()
             for _ in range(steps):
                 state, m = trainer.step(state, next(loader))
-            jax.block_until_ready(m["loss"])
+            float(m["loss"])
             dt = time.perf_counter() - t0
             best = max(best, steps * cfg.train.batch_size / dt)
     finally:

@@ -1,6 +1,14 @@
 """Dev-only micro-profile: split the bench workload's train-step time into
-tower (queries), loss forward, and full fwd+bwd+update, to locate the next
-optimization lever. Not part of the driver contract."""
+tower (queries), CE forward, CE backward, and the full step, to locate the
+next optimization lever. Not part of the driver contract.
+
+Honest timing on the remote-TPU tunnel: ``block_until_ready`` does NOT wait
+for remote execution here (measured: an 8k x 8k matmul "finishes" in 60 us
+that way, i.e. 7000 "TF/s"). Every measurement below therefore (a) chains the
+repeated body through the accumulator inside one jit so XLA cannot hoist it
+out of the loop, and (b) fences with a device->host scalar transfer whose
+value depends on all the work.
+"""
 
 from __future__ import annotations
 
@@ -11,15 +19,24 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(fn, *args, steps=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps
+def chained(fn, params, *args, n=30, trials=3):
+    """Mean per-iteration time of fn(params, *args) repeated n times in-graph,
+    with params perturbed by the running accumulator so nothing is hoisted."""
+
+    @jax.jit
+    def rep(params, *a):
+        def body(i, acc):
+            p = jax.tree.map(lambda x: x + (acc * 1e-30).astype(x.dtype), params)
+            return acc + fn(p, *a)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    float(rep(params, *args))  # compile + drain
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(rep(params, *args))  # to-host fence: arrival proves execution
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 def main():
@@ -51,46 +68,72 @@ def main():
     state = trainer.init_state()
     loader = TrainLoader(ds.train, batch_size=cfg.train.batch_size, seed=0)
     batch = next(loader)
-    loader.close()
-    dbatch = trainer._put_batch(batch)
     model, loss_fn = trainer.model, trainer.loss_fn
-
-    @jax.jit
-    def queries_only(params, batch):
-        return model.queries(params, batch)
-
-    @jax.jit
-    def loss_fwd(params, batch, rng):
-        q = model.queries(params, batch)
-        table, bias = model_base.output_table(params, cfg.model)
-        return loss_fn(q, table, bias, batch.poi_tgt, batch.mask, rng)
-
+    params = state.params
+    dbatch = trainer._put_batch(batch)
     rng = jax.random.key(0)
-    t_q = timed(queries_only, state.params, dbatch)
-    t_f = timed(loss_fwd, state.params, dbatch, rng)
+    q0 = jax.jit(lambda p, b: model.queries(p, b))(params, dbatch)
 
-    def full(state, batch):
-        return trainer.step(state, batch)
+    def tower_fwd(p, b):
+        return jnp.sum(model.queries(p, b).astype(jnp.float32)) * 1e-30
 
-    # warm
-    for _ in range(3):
-        state, m = trainer.step(state, batch)
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(20):
-        state, m = trainer.step(state, batch)
-    jax.block_until_ready(m["loss"])
-    t_full = (time.perf_counter() - t0) / 20
+    def tower_fwdbwd(p, b):
+        g = jax.grad(lambda pp: jnp.sum(model.queries(pp, b).astype(jnp.float32)))(p)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(g)) * 1e-30
+
+    def ce_fwd(p, q, y, m):
+        t2, b2 = model_base.output_table(p, cfg.model)
+        return loss_fn(q, t2, b2, y, m, rng)
+
+    def ce_fwdbwd(p, q, y, m):
+        def f(pp, qq):
+            t2, b2 = model_base.output_table(pp, cfg.model)
+            return loss_fn(qq, t2, b2, y, m, rng)
+        l, (gp, gq) = jax.value_and_grad(f, argnums=(0, 1))(p, q)
+        return l + (
+            sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(gp)) + jnp.sum(gq)
+        ) * 1e-30
+
+    def full_fwdbwd(p, b):
+        def f(pp):
+            q = model.queries(pp, b)
+            t2, b2 = model_base.output_table(pp, cfg.model)
+            return loss_fn(q, t2, b2, b.poi_tgt, b.mask, rng)
+        l, g = jax.value_and_grad(f)(p)
+        return l + sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(g)) * 1e-30
 
     B, T = batch.poi_in.shape
     V, D = trainer.dims.num_pois_padded, cfg.model.embed_dim
-    ce_flops = 2 * B * T * D * V  # fwd logits matmul
-    print(f"batch={B} T={T} V={V} D={D}")
-    print(f"tower(queries) fwd : {t_q*1e3:8.2f} ms")
-    print(f"tower+loss fwd     : {t_f*1e3:8.2f} ms  (loss share {100*(t_f-t_q)/t_f:.0f}%)")
-    print(f"full step          : {t_full*1e3:8.2f} ms  ({B/t_full:,.0f} seq/s)")
-    print(f"CE fwd matmul FLOPs: {ce_flops/1e9:.1f} GF -> fwd-only {ce_flops/t_f/1e12:.1f} TF/s eff")
-    print(f"step total ~3x CE  : {3*ce_flops/t_full/1e12:.1f} TF/s eff (v5e bf16 peak ~197)")
+    ce_gf = 2 * B * T * D * V / 1e9
+    rows = [
+        ("tower fwd", chained(tower_fwd, params, dbatch)),
+        ("tower fwd+bwd", chained(tower_fwdbwd, params, dbatch)),
+        ("CE fwd (fixed q)", chained(ce_fwd, params, q0, dbatch.poi_tgt, dbatch.mask)),
+        ("CE fwd+bwd (fixed q)", chained(ce_fwdbwd, params, q0, dbatch.poi_tgt, dbatch.mask)),
+        ("full loss fwd+bwd", chained(full_fwdbwd, params, dbatch)),
+    ]
+    print(f"batch={B} T={T} V={V} D={D}  (CE fwd matmul {ce_gf:.0f} GF)")
+    for tag, t in rows:
+        print(f"  {tag:24s}: {t*1e3:7.3f} ms")
+    t_ce_f = rows[2][1]
+    t_ce_fb = rows[3][1]
+    print(f"  CE fwd eff : {ce_gf/1e3/t_ce_f:6.1f} TF/s (1 catalog matmul)")
+    print(f"  CE bwd eff : {3*ce_gf/1e3/(t_ce_fb-t_ce_f):6.1f} TF/s (2 recompute + 2 grad matmuls ~ 3x fwd work)")
+
+    # End-to-end steady-state step (includes optimizer, metrics, host feed).
+    for _ in range(5):
+        state, m = trainer.step(state, next(loader))
+    float(m["loss"])
+    best = 0.0
+    for _ in range(3):
+        steps = 30
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = trainer.step(state, next(loader))
+        float(m["loss"])
+        best = max(best, steps * B / (time.perf_counter() - t0))
+    loader.close()
+    print(f"  full step          : {B/best*1e3:7.3f} ms  ({best:,.0f} seq/s)")
 
 
 if __name__ == "__main__":
