@@ -54,3 +54,20 @@ def test_fused_ce_under_jit_and_value_and_grad():
     f = jax.jit(lambda q, t, b: jax.value_and_grad(fused_ce_loss)(q, t, b, y, mask))
     loss, dq = f(q, table, bias)
     assert np.isfinite(float(loss)) and np.isfinite(np.asarray(dq)).all()
+
+
+def test_pallas_ce_interpret_matches_dense():
+    """The Pallas kernels (per-lane online-LSE forward + single fused backward)
+    in interpreter mode vs the dense oracle — covers the TPU code path on CPU."""
+    from poi_tpu.ops.fused_ce import fused_ce_loss_pallas
+
+    q, table, bias, y, mask = _case(B=3, T=4, D=32, V=180, seed=4)
+    got, g_p = jax.value_and_grad(
+        lambda *a: fused_ce_loss_pallas(*a, y, mask, interpret=True), argnums=(0, 1, 2)
+    )(q, table, bias)
+    want, g_d = jax.value_and_grad(
+        lambda *a: ce_loss(*a, y, mask), argnums=(0, 1, 2)
+    )(q, table, bias)
+    assert abs(float(got) - float(want)) < 1e-3 * max(1.0, abs(float(want)))
+    for a, b, name in zip(g_p, g_d, ("dq", "dtable", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-2, err_msg=name)
