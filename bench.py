@@ -33,27 +33,53 @@ def _throughput(cfg, ds, steps=30, warmup=5, repeats=3) -> float:
     in 60 us that way). The only honest fence is a device->host transfer, so
     every timed window ends with ``float(loss)`` — the scalar's value depends
     on all ``steps`` chained train steps, so its arrival proves they ran."""
-    from poi_tpu.data.pipeline import TrainLoader
+    from poi_tpu.data.device_sampler import DeviceSampler
+    from poi_tpu.data.pipeline import DevicePrefetcher, TrainLoader
     from poi_tpu.models.base import DataDims
     from poi_tpu.train.loop import Trainer
 
-    trainer = Trainer(cfg, DataDims.from_dataset(ds))
+    sampler = None
+    if cfg.data.sampler == "device":
+        sampler = DeviceSampler(ds.train, cfg.train.batch_size, cfg.train.seed)
+    trainer = Trainer(cfg, DataDims.from_dataset(ds), sampler=sampler)
     state = trainer.init_state()
-    loader = TrainLoader(ds.train, batch_size=cfg.train.batch_size, seed=0)
     best = 0.0
+    spc = max(1, cfg.train.steps_per_call)
+    loader = feed = None
+    if sampler is None:
+        loader = TrainLoader(ds.train, batch_size=cfg.train.batch_size, seed=0)
+        if spc > 1:
+            feed = DevicePrefetcher(
+                lambda: trainer.put_chunk([next(loader) for _ in range(spc)]), depth=2
+            )
+        else:
+            feed = DevicePrefetcher(lambda: trainer.put_single(next(loader)), depth=3)
+
+    def run(n):
+        nonlocal state
+        m = None
+        for _ in range(n // spc):
+            if sampler is not None:
+                state, m = trainer.step_sampled(state, spc)
+            elif spc > 1:
+                state, m = trainer.step_chunk(state, next(feed))
+            else:
+                state, m = trainer.step(state, next(feed))
+        float(m["loss"] if m["loss"].ndim == 0 else m["loss"][-1])
+
     try:
-        for _ in range(warmup):
-            state, m = trainer.step(state, next(loader))
-        float(m["loss"])  # drain the async dispatch queue
+        run(max(warmup, spc))  # compile + drain the async dispatch queue
         for _ in range(repeats):
+            n = steps - steps % spc
             t0 = time.perf_counter()
-            for _ in range(steps):
-                state, m = trainer.step(state, next(loader))
-            float(m["loss"])
+            run(n)
             dt = time.perf_counter() - t0
-            best = max(best, steps * cfg.train.batch_size / dt)
+            best = max(best, n * cfg.train.batch_size / dt)
     finally:
-        loader.close()
+        if feed is not None:
+            feed.close()
+        if loader is not None:
+            loader.close()
     return best
 
 
@@ -74,7 +100,13 @@ def main() -> int:
         "train.warmup_steps": "0",
     }
     cfg_ours = get_config("smoke").with_overrides(
-        {**base_overrides, "train.batch_size": "256", "model.compute_dtype": "bfloat16"}
+        {
+            **base_overrides,
+            "train.batch_size": "256",
+            "model.compute_dtype": "bfloat16",
+            "train.steps_per_call": "10",
+            "data.sampler": "device",
+        }
     )
     # Reference-shaped: batch 32 (BASELINE.json:7), fp32, same dense softmax.
     cfg_ref = get_config("smoke").with_overrides(

@@ -260,3 +260,55 @@ def eval_batches(examples: Examples, batch_size: int) -> Iterator[tuple[Batch, n
         if n_valid < batch_size:
             idx = np.concatenate([idx, np.zeros(batch_size - n_valid, np.int64)])
         yield make_batch(examples, idx), examples.target[idx], n_valid
+
+
+class DevicePrefetcher:
+    """Background device-feed: a worker thread pulls host batches and ships
+    them to the device ahead of the training loop, so host batch assembly AND
+    host→device transfer overlap device compute (SURVEY.md §3.2a "host CPU;
+    prefetch → device"). ``produce()`` must return a device-ready element
+    (e.g. ``trainer._put_batch(next(loader))``); ``depth`` bounds how many
+    in-flight elements buffer device memory."""
+
+    def __init__(self, produce, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._exc: BaseException | None = None
+
+        def worker():
+            try:
+                while not self._stop.is_set():
+                    item = produce()
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # surfaced on the consumer side
+                self._exc = e
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while True:
+            if self._exc is not None:
+                raise self._exc
+            try:
+                return self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+
+    def close(self) -> None:
+        self._stop.set()
+        # Drain so the worker's pending put() unblocks, then join.
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)

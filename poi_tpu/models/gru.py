@@ -25,7 +25,14 @@ def init_gru_layer(rng: jax.Array, d_in: int, d_h: int) -> dict:
     }
 
 
-def gru_layer(p: dict, x: jax.Array, mask: jax.Array | None, dtype, remat: bool = False) -> jax.Array:
+def gru_layer(
+    p: dict,
+    x: jax.Array,
+    mask: jax.Array | None,
+    dtype,
+    remat: bool = False,
+    cell_impl: str = "auto",
+) -> jax.Array:
     """[B, T, D] → [B, T, H]."""
     B, T, _ = x.shape
     H = p["wh"].shape[0]
@@ -35,6 +42,23 @@ def gru_layer(p: dict, x: jax.Array, mask: jax.Array | None, dtype, remat: bool 
         + p["b"]
     )  # [B, T, 3H]
     wh = p["wh"].astype(dtype)
+
+    from poi_tpu.ops import fused_gru
+
+    use_pallas = cell_impl == "pallas" or (
+        cell_impl == "auto"
+        and jax.default_backend() == "tpu"
+        and fused_gru.gru_dims_supported(B, H)
+        and dtype == jnp.bfloat16  # the kernel's matmuls are bf16/f32-accum
+    )
+    if use_pallas:
+        # Fold the padding mask into the update gate: z == 0 on padded steps
+        # makes the carry pass through exactly (see ops/fused_gru.py).
+        if mask is not None:
+            xw = xw.at[:, :, :H].set(
+                jnp.where(mask[:, :, None], xw[:, :, :H], fused_gru.MASK_NEG)
+            )
+        return fused_gru.fused_gru_scan(xw, wh)
 
     def step(h, xw_t):
         hw = jnp.dot(h.astype(dtype), wh, preferred_element_type=jnp.float32)
@@ -69,5 +93,7 @@ class GRUModel(base.SequenceModel):
         mask = batch.mask
         h = x
         for p in tower_params["layers"]:
-            h = gru_layer(p, h, mask, dtype, remat=self.cfg.remat_cell)
+            h = gru_layer(
+                p, h, mask, dtype, remat=self.cfg.remat_cell, cell_impl=self.cfg.cell_impl
+            )
         return h

@@ -43,7 +43,10 @@ class Trainer:
     mesh: Any = None
     lookup: Callable | None = None  # injected sharded lookup (ops/embedding)
     loss_override: Callable | None = None  # injected sharded loss
+    sampler: Any = None  # data.device_sampler.DeviceSampler for in-graph batches
     _step_fn: Callable = field(init=False, default=None)
+    _chunk_fn: Callable = field(init=False, default=None)
+    _chunk_len: int = field(init=False, default=0)
 
     def __post_init__(self):
         if self.mesh is None:
@@ -113,7 +116,7 @@ class Trainer:
         return jax.jit(_init, out_shardings=shardings)(rng)
 
     # ------------------------------------------------------------------ step
-    def _build_step(self, example_batch: Batch):
+    def _step_core(self):
         model, loss_fn, optimizer = self.model, self.loss_fn, self.optimizer
         cfg = self.cfg
         n_model = self.mesh.shape[mesh_lib.MODEL_AXIS]
@@ -149,23 +152,66 @@ class Trainer:
             new_state = TrainState(state.step + 1, params, opt_state, state.rng)
             return new_state, metrics
 
+        metric_keys = {"loss": 0.0, "grad_norm": 0.0, "param_norm": 0.0}
+        if a2a_shards > 1:
+            metric_keys["a2a_overflow"] = 0.0
+        return step_fn, metric_keys
+
+    def _build_step(self, example_batch: Batch, num_steps: int = 1):
+        """jit'd train step. ``num_steps > 1`` scans over a leading stack of
+        batches inside ONE dispatch — host→device dispatch latency (the
+        dominant non-compute cost on remote/tunneled TPU hosts, and a real
+        cost anywhere) is amortized 1/num_steps. Metrics come back stacked
+        [num_steps] so per-step logging is preserved."""
+        step_fn, metric_keys = self._step_core()
+
         # Shardings: derive from an abstract state + the example batch.
         abstract_state = jax.eval_shape(self.init_state)
         st_shard = state_shardings(abstract_state, self.mesh, self.dims.num_pois_padded)
         b_shard = batch_shardings(example_batch, self.mesh)
-        metric_keys = {"loss": 0.0, "grad_norm": 0.0, "param_norm": 0.0}
-        if a2a_shards > 1:
-            metric_keys["a2a_overflow"] = 0.0
         m_shard = replicated_shardings(metric_keys, self.mesh)
+        if num_steps == 1:
+            return jax.jit(
+                step_fn,
+                in_shardings=(st_shard, b_shard),
+                out_shardings=(st_shard, m_shard),
+                donate_argnums=(0,),
+            )
+
+        def chunk_fn(state: TrainState, batches: Batch):
+            return jax.lax.scan(step_fn, state, batches)
+
+        bs_stacked = jax.tree.map(
+            lambda x: jax.sharding.NamedSharding(
+                self.mesh,
+                jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS, *([None] * (x.ndim - 1))),
+            ),
+            example_batch,
+        )
+        ms_stacked = jax.tree.map(
+            lambda sh: jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec()),
+            m_shard,
+        )
         return jax.jit(
-            step_fn,
-            in_shardings=(st_shard, b_shard),
-            out_shardings=(st_shard, m_shard),
+            chunk_fn,
+            in_shardings=(st_shard, bs_stacked),
+            out_shardings=(st_shard, ms_stacked),
             donate_argnums=(0,),
         )
 
-    def _put_batch(self, batch: Batch):
-        shardings = batch_shardings(batch, self.mesh)
+    def _put_batch(self, batch: Batch, stacked: bool = False):
+        if stacked:  # leading axis is the scan (steps) axis, not batch
+            shardings = jax.tree.map(
+                lambda x: jax.sharding.NamedSharding(
+                    self.mesh,
+                    jax.sharding.PartitionSpec(
+                        None, mesh_lib.DATA_AXIS, *([None] * (x.ndim - 2))
+                    ),
+                ),
+                batch,
+            )
+        else:
+            shardings = batch_shardings(batch, self.mesh)
         if jax.process_count() == 1:
             return jax.device_put(batch, shardings)
         # Multi-host: each process holds a disjoint slice of the global batch
@@ -176,10 +222,107 @@ class Trainer:
             shardings,
         )
 
+    def _build_sampled_steps(self, num_steps: int):
+        """jit'd K-step chunk with batches drawn IN-GRAPH by the device
+        sampler — zero per-step host payload (data/device_sampler.py)."""
+        step_fn, metric_keys = self._step_core()
+
+        def sampled_step(state: TrainState, _):
+            return step_fn(state, self.sampler.sample(state.step))
+
+        def chunk_fn(state: TrainState):
+            return jax.lax.scan(sampled_step, state, None, length=num_steps)
+
+        abstract_state = jax.eval_shape(self.init_state)
+        st_shard = state_shardings(abstract_state, self.mesh, self.dims.num_pois_padded)
+        ms = jax.tree.map(
+            lambda _: jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec()),
+            metric_keys,
+        )
+        return jax.jit(
+            chunk_fn,
+            in_shardings=(st_shard,),
+            out_shardings=(st_shard, ms),
+            donate_argnums=(0,),
+        )
+
+    def step_sampled(self, state: TrainState, num_steps: int):
+        """Run ``num_steps`` device-sampled steps in one dispatch."""
+        assert self.sampler is not None, "Trainer needs a DeviceSampler"
+        if self._chunk_fn is None or self._chunk_len != num_steps:
+            self._chunk_fn = self._build_sampled_steps(num_steps)
+            self._chunk_len = num_steps
+        return self._chunk_fn(state)
+
     def step(self, state: TrainState, batch: Batch):
+        """One train step. ``batch`` may be host numpy or already device-put
+        (e.g. via a ``DevicePrefetcher`` wrapping ``put_single``)."""
         if self._step_fn is None:
             self._step_fn = self._build_step(batch)
-        return self._step_fn(state, self._put_batch(batch))
+        if not isinstance(batch.poi_in, jax.Array):
+            batch = self._put_batch(batch)
+        return self._step_fn(state, batch)
+
+    def put_single(self, batch: Batch):
+        return self._put_batch(batch)
+
+    def put_chunk(self, batches: list[Batch]):
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+        return self._put_batch(stacked, stacked=True)
+
+    def step_chunk(self, state: TrainState, batches):
+        """Run K train steps in ONE device dispatch (scan). ``batches`` is a
+        list of host batches or a device-put stack from ``put_chunk``.
+        Returns (state, metrics with leading [K] axis)."""
+        if isinstance(batches, list):
+            k = len(batches)
+            example = batches[0]
+            device_stack = None
+        else:
+            k = batches.poi_in.shape[0]
+            example = jax.tree.map(lambda x: x[0], batches)
+            device_stack = batches
+        if self._chunk_fn is None or self._chunk_len != k:
+            self._chunk_fn = self._build_step(example, num_steps=k)
+            self._chunk_len = k
+        if device_stack is None:
+            device_stack = self.put_chunk(batches)
+        return self._chunk_fn(state, device_stack)
+
+
+def _train_sampled(cfg, trainer, state, start_step, num_steps, callbacks):
+    """Training loop for the device sampler: no loader, no host feed — just
+    K-step dispatches. Fault injection still works (it is a host-side raise
+    between dispatches); resume is trivial (sampling is stateless in step)."""
+    history: list[dict] = []
+    end = start_step + num_steps
+    fault = cfg.train.fault_inject_step
+    spc = max(1, cfg.train.steps_per_call)
+    t0 = time.perf_counter()
+    seqs = 0
+    i = start_step
+    while i < end:
+        if fault == i:
+            raise FaultInjected(f"fault injected at step {i}")
+        k = min(spc, end - i, cfg.train.log_every)
+        if fault > i:
+            k = min(k, fault - i)
+        state, metrics_k = trainer.step_sampled(state, k)
+        seqs += k * cfg.train.batch_size
+        i += k
+        if i % cfg.train.log_every == 0 or i == end:
+            dt = time.perf_counter() - t0
+            row = {m: float(v[-1]) for m, v in metrics_k.items()}
+            row.update(step=i, seqs_per_sec=seqs / max(dt, 1e-9))
+            history.append(row)
+            log.info(
+                "step %d loss %.4f grad %.3f %.1f seq/s",
+                row["step"], row["loss"], row["grad_norm"], row["seqs_per_sec"],
+            )
+            t0, seqs = time.perf_counter(), 0
+        for cb in callbacks or []:
+            cb(i, state, jax.tree.map(lambda v: v[-1], metrics_k))
+    return trainer, state, history
 
 
 def train(
@@ -193,10 +336,20 @@ def train(
     """Run the training loop; returns (trainer, final state, metric history)."""
     num_steps = num_steps if num_steps is not None else cfg.train.num_steps
     dims = model_base.DataDims.from_dataset(dataset)
+    if trainer is None and cfg.data.sampler == "device":
+        from poi_tpu.data.device_sampler import DeviceSampler
+
+        trainer = Trainer(
+            cfg, dims,
+            sampler=DeviceSampler(dataset.train, cfg.train.batch_size, cfg.train.seed),
+        )
     trainer = trainer or Trainer(cfg, dims)
     if state is None:
         state = trainer.init_state()
     start_step = int(state.step)
+
+    if trainer.sampler is not None:
+        return _train_sampled(cfg, trainer, state, start_step, num_steps, callbacks)
 
     loader = make_train_loader(
         dataset.train,
@@ -212,25 +365,73 @@ def train(
     history: list[dict] = []
     t0 = time.perf_counter()
     seqs = 0
+    spc = max(1, cfg.train.steps_per_call)
+
+    def log_and_callbacks(i, state, metrics):
+        nonlocal t0, seqs
+        seqs += cfg.train.batch_size
+        if (i + 1) % cfg.train.log_every == 0 or i + 1 == start_step + num_steps:
+            dt = time.perf_counter() - t0
+            row = {k: float(v) for k, v in metrics.items()}
+            row.update(step=i + 1, seqs_per_sec=seqs / max(dt, 1e-9))
+            history.append(row)
+            log.info(
+                "step %d loss %.4f grad %.3f %.1f seq/s",
+                row["step"], row["loss"], row["grad_norm"], row["seqs_per_sec"],
+            )
+            t0, seqs = time.perf_counter(), 0
+        for cb in callbacks or []:
+            cb(i + 1, state, metrics)
+
+    end = start_step + num_steps
+    fault = cfg.train.fault_inject_step
+    fault_active = start_step <= fault < end
+    # Device prefetch: a worker thread assembles AND ships batches ahead so
+    # host work overlaps device compute. Off during the fault-injection drill
+    # (the drill needs exact step-by-step control, not throughput) and on the
+    # CPU backend (no transfer to hide, and concurrent device_put from a
+    # second thread can deadlock the CPU client against the running step).
+    feed = None
+    if not fault_active and jax.default_backend() != "cpu":
+        from poi_tpu.data.pipeline import DevicePrefetcher
+
+        if spc > 1:
+            feed = DevicePrefetcher(
+                lambda: trainer.put_chunk([next(loader) for _ in range(spc)]), depth=2
+            )
+        else:
+            feed = DevicePrefetcher(lambda: trainer.put_single(next(loader)), depth=3)
     try:
-        for i in range(start_step, start_step + num_steps):
-            if cfg.train.fault_inject_step == i:
+        i = start_step
+        while i < end:
+            if fault == i:
                 raise FaultInjected(f"fault injected at step {i}")
-            batch = next(loader)
-            state, metrics = trainer.step(state, batch)
-            seqs += cfg.train.batch_size
-            if (i + 1) % cfg.train.log_every == 0 or i + 1 == start_step + num_steps:
-                dt = time.perf_counter() - t0
-                row = {k: float(v) for k, v in metrics.items()}
-                row.update(step=i + 1, seqs_per_sec=seqs / max(dt, 1e-9))
-                history.append(row)
-                log.info(
-                    "step %d loss %.4f grad %.3f %.1f seq/s",
-                    row["step"], row["loss"], row["grad_norm"], row["seqs_per_sec"],
-                )
-                t0, seqs = time.perf_counter(), 0
-            for cb in callbacks or []:
-                cb(i + 1, state, metrics)
+            k = min(spc, end - i)
+            if fault > i:
+                k = min(k, fault - i)
+            if feed is not None and spc > 1:
+                chunk = next(feed)
+                if k == spc:
+                    state, metrics_k = trainer.step_chunk(state, chunk)
+                    for j in range(spc):
+                        log_and_callbacks(i + j, state, {m: v[j] for m, v in metrics_k.items()})
+                else:
+                    # Tail (< spc steps): replay leading slices of the chunk.
+                    for j in range(k):
+                        single = jax.tree.map(lambda x, jj=j: x[jj], chunk)
+                        state, metrics = trainer.step(state, single)
+                        log_and_callbacks(i + j, state, metrics)
+            elif k > 1:
+                state, metrics_k = trainer.step_chunk(state, [next(loader) for _ in range(k)])
+                for j in range(k):
+                    log_and_callbacks(i + j, state, {m: v[j] for m, v in metrics_k.items()})
+            else:
+                batch = next(feed) if feed is not None else next(loader)
+                state, metrics = trainer.step(state, batch)
+                log_and_callbacks(i, state, metrics)
+            i += k
     finally:
+        if feed is not None:
+            feed.close()
         loader.close()
     return trainer, state, history

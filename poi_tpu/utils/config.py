@@ -38,6 +38,10 @@ class DataConfig:
     dist_buckets: int = 8
     seed: int = 0
     loader_backend: str = "threaded"  # threaded | grain (data/pipeline.py)
+    # "host": epoch-permutation loaders feed batches from CPU. "device":
+    # upload examples to HBM once and sample batches in-graph (uniform with
+    # replacement; zero per-step host payload — data/device_sampler.py).
+    sampler: str = "host"  # host | device
 
 
 @dataclass(frozen=True)
@@ -60,6 +64,10 @@ class ModelConfig:
     attn_block_size: int = 128
     # Compute dtype for the tower (params stay fp32).
     compute_dtype: str = "bfloat16"
+    # Recurrent cell implementation: "auto" picks the fused Pallas recurrence
+    # kernel on TPU when shapes are lane-aligned, else lax.scan ("scan" and
+    # "pallas" force a path; scan is the oracle).
+    cell_impl: str = "auto"  # auto | pallas | scan
     # jax.checkpoint the recurrent cell: O(T) gate residuals -> recompute in
     # backward; enables long-T training in fixed memory (SURVEY.md §5).
     remat_cell: bool = False
@@ -86,6 +94,9 @@ class TrainConfig:
     grad_clip_norm: float = 1.0
     optimizer: str = "adam"  # adam | adagrad | sgd
     seed: int = 0
+    # Train steps fused into one device dispatch (lax.scan over stacked
+    # batches). Amortizes host dispatch latency; metrics stay per-step.
+    steps_per_call: int = 1
     # Debug hook: raise at this step to exercise the resume path (SURVEY.md §5).
     fault_inject_step: int = -1
 
