@@ -2,7 +2,9 @@
 (reference R5 — BASELINE.json:8).
 
 Same TPU layout as the GRU: hoisted [B*T, D] x [D, 4H] input projection, scan
-body is one [B, H] x [H, 4H] matmul + VPU gates. The user-embedding addition
+body is one [B, H] x [H, 4H] matmul + VPU gates; on TPU with aligned dims the
+whole recurrence runs as one Pallas kernel per direction (ops/fused_lstm.py,
+``model.cell_impl``). The user-embedding addition
 to the scoring query is handled by ``base.add_user_query`` (cfg.use_user_embedding).
 """
 
@@ -27,7 +29,14 @@ def init_lstm_layer(rng: jax.Array, d_in: int, d_h: int) -> dict:
     }
 
 
-def lstm_layer(p: dict, x: jax.Array, mask: jax.Array | None, dtype, remat: bool = False) -> jax.Array:
+def lstm_layer(
+    p: dict,
+    x: jax.Array,
+    mask: jax.Array | None,
+    dtype,
+    remat: bool = False,
+    cell_impl: str = "auto",
+) -> jax.Array:
     B, T, _ = x.shape
     H = p["wh"].shape[0]
     xw = (
@@ -35,6 +44,23 @@ def lstm_layer(p: dict, x: jax.Array, mask: jax.Array | None, dtype, remat: bool
         + p["b"]
     )
     wh = p["wh"].astype(dtype)
+
+    from poi_tpu.ops import fused_lstm
+
+    use_pallas = cell_impl == "pallas" or (
+        cell_impl == "auto"
+        and jax.default_backend() == "tpu"
+        and fused_lstm.lstm_dims_supported(B, H)
+        and dtype == jnp.bfloat16  # the kernel's matmuls are bf16/f32-accum
+    )
+    if use_pallas:
+        # Explicit lane-aligned mask operand: an LSTM has no single gate that
+        # freezes both carries (see ops/fused_lstm.py docstring).
+        if mask is None:
+            m_bh = jnp.ones((B, T, H), jnp.float32)
+        else:
+            m_bh = jnp.broadcast_to(mask[:, :, None].astype(jnp.float32), (B, T, H))
+        return fused_lstm.fused_lstm_scan(xw, m_bh, p["wh"])
 
     def step(carry, xw_t):
         h, c = carry["h"], carry["c"]
@@ -69,5 +95,8 @@ class LSTMModel(base.SequenceModel):
         dtype = base.compute_dtype(self.cfg)
         h = x
         for p in tower_params["layers"]:
-            h = lstm_layer(p, h, batch.mask, dtype, remat=self.cfg.remat_cell)
+            h = lstm_layer(
+                p, h, batch.mask, dtype,
+                remat=self.cfg.remat_cell, cell_impl=self.cfg.cell_impl,
+            )
         return h
