@@ -89,6 +89,22 @@ class STRNNModel(base.SequenceModel):
             + p["b"]
         )  # [B, T, H]
 
+        from poi_tpu.ops import fused_rnn
+
+        use_pallas = cfg.cell_impl == "pallas" or (
+            cfg.cell_impl == "auto"
+            and jax.default_backend() == "tpu"
+            and fused_rnn.rnn_dims_supported(B, cfg.hidden_dim)
+            and dtype == jnp.bfloat16  # the kernel's matmuls are bf16/f32-accum
+        )
+        if use_pallas:
+            T, H = x.shape[1], cfg.hidden_dim
+            if batch.mask is None:
+                m_bh = jnp.ones((B, T, H), jnp.float32)
+            else:
+                m_bh = jnp.broadcast_to(batch.mask[:, :, None].astype(jnp.float32), (B, T, H))
+            return fused_rnn.fused_rnn_scan(xin, m_bh, p["c"])
+
         c = p["c"].astype(dtype)
 
         def step(h, xin_t):
