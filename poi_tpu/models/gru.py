@@ -52,13 +52,16 @@ def gru_layer(
         and dtype == jnp.bfloat16  # the kernel's matmuls are bf16/f32-accum
     )
     if use_pallas:
+        from poi_tpu.ops.cell_pad import pad_gate_blocks
+
         # Fold the padding mask into the update gate: z == 0 on padded steps
         # makes the carry pass through exactly (see ops/fused_gru.py).
         if mask is not None:
             xw = xw.at[:, :, :H].set(
                 jnp.where(mask[:, :, None], xw[:, :, :H], fused_gru.MASK_NEG)
             )
-        return fused_gru.fused_gru_scan(xw, wh)
+        xw_p, wh_p, H0 = pad_gate_blocks(xw, wh, 3)
+        return fused_gru.fused_gru_scan(xw_p, wh_p)[..., :H0]
 
     def step(h, xw_t):
         hw = jnp.dot(h.astype(dtype), wh, preferred_element_type=jnp.float32)

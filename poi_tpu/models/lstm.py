@@ -54,13 +54,17 @@ def lstm_layer(
         and dtype == jnp.bfloat16  # the kernel's matmuls are bf16/f32-accum
     )
     if use_pallas:
+        from poi_tpu.ops.cell_pad import pad_gate_blocks, padded_hidden
+
         # Explicit lane-aligned mask operand: an LSTM has no single gate that
         # freezes both carries (see ops/fused_lstm.py docstring).
+        xw_p, wh_p, H0 = pad_gate_blocks(xw, p["wh"], 4)
+        Hp = padded_hidden(H)
         if mask is None:
-            m_bh = jnp.ones((B, T, H), jnp.float32)
+            m_bh = jnp.ones((B, T, Hp), jnp.float32)
         else:
-            m_bh = jnp.broadcast_to(mask[:, :, None].astype(jnp.float32), (B, T, H))
-        return fused_lstm.fused_lstm_scan(xw, m_bh, p["wh"])
+            m_bh = jnp.broadcast_to(mask[:, :, None].astype(jnp.float32), (B, T, Hp))
+        return fused_lstm.fused_lstm_scan(xw_p, m_bh, wh_p)[..., :H0]
 
     def step(carry, xw_t):
         h, c = carry["h"], carry["c"]

@@ -98,12 +98,18 @@ class STRNNModel(base.SequenceModel):
             and dtype == jnp.bfloat16  # the kernel's matmuls are bf16/f32-accum
         )
         if use_pallas:
-            T, H = x.shape[1], cfg.hidden_dim
+            from poi_tpu.ops.cell_pad import pad_gate_blocks, padded_hidden
+
+            T = x.shape[1]
+            xin_p, c_p, H0 = pad_gate_blocks(xin, p["c"], 1)
+            Hp = padded_hidden(cfg.hidden_dim)
             if batch.mask is None:
-                m_bh = jnp.ones((B, T, H), jnp.float32)
+                m_bh = jnp.ones((B, T, Hp), jnp.float32)
             else:
-                m_bh = jnp.broadcast_to(batch.mask[:, :, None].astype(jnp.float32), (B, T, H))
-            return fused_rnn.fused_rnn_scan(xin, m_bh, p["c"])
+                m_bh = jnp.broadcast_to(
+                    batch.mask[:, :, None].astype(jnp.float32), (B, T, Hp)
+                )
+            return fused_rnn.fused_rnn_scan(xin_p, m_bh, c_p)[..., :H0]
 
         c = p["c"].astype(dtype)
 

@@ -1,0 +1,96 @@
+"""Gate-block lane padding (ops/cell_pad.py): fused kernels fed padded
+operands must match the unpadded scan oracles exactly on the real lanes, for
+values and gradients (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from poi_tpu.models import base
+from poi_tpu.models.gru import gru_layer, init_gru_layer
+from poi_tpu.models.lstm import init_lstm_layer, lstm_layer
+from poi_tpu.ops.cell_pad import pad_gate_blocks, padded_hidden
+from poi_tpu.ops.fused_gru import MASK_NEG, fused_gru_scan
+from poi_tpu.ops.fused_lstm import fused_lstm_scan
+from poi_tpu.ops.fused_rnn import fused_rnn_scan
+
+B, T, D, H = 8, 16, 24, 24  # H far from a lane multiple
+
+
+def _mask(seed):
+    lengths = jax.random.randint(jax.random.key(seed), (B, 1), 3, T + 1)
+    return jnp.cumsum(jnp.ones((B, T)), axis=1) <= lengths
+
+
+def test_padded_hidden():
+    assert padded_hidden(24) == 128
+    assert padded_hidden(128) == 128
+    assert padded_hidden(129) == 256
+
+
+def test_padded_gru_matches_scan():
+    p = init_gru_layer(jax.random.key(0), D, H)
+    x = jax.random.normal(jax.random.key(1), (B, T, D), jnp.float32) * 0.5
+    mask = _mask(2)
+    hs_scan = gru_layer(p, x, mask, jnp.float32, cell_impl="scan")
+
+    def pal(p, x):
+        xw = jnp.dot(x, p["wx"], preferred_element_type=jnp.float32) + p["b"]
+        xw = xw.at[:, :, :H].set(jnp.where(mask[:, :, None], xw[:, :, :H], MASK_NEG))
+        xw_p, wh_p, H0 = pad_gate_blocks(xw, p["wh"], 3)
+        return fused_gru_scan(xw_p, wh_p, True)[..., :H0]
+
+    hs_pal = pal(p, x)
+    m = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(hs_scan) * m, np.asarray(hs_pal) * m, atol=2e-2, rtol=2e-2
+    )
+    # Gradients through the pad/slice wrappers.
+    gs = jax.grad(lambda pp: jnp.sum(gru_layer(pp, x, mask, jnp.float32, cell_impl="scan") * m * 0.1))(p)
+    gp = jax.grad(lambda pp: jnp.sum(pal(pp, x) * m * 0.1))(p)
+    for k in ("wx", "wh", "b"):
+        scale = np.abs(np.asarray(gs[k])).max() + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(gs[k]) / scale, np.asarray(gp[k]) / scale, atol=5e-2, err_msg=k
+        )
+
+
+def test_padded_lstm_matches_scan():
+    p = init_lstm_layer(jax.random.key(3), D, H)
+    x = jax.random.normal(jax.random.key(4), (B, T, D), jnp.float32) * 0.5
+    mask = _mask(5)
+    hs_scan = lstm_layer(p, x, mask, jnp.float32, cell_impl="scan")
+
+    xw = jnp.dot(x, p["wx"], preferred_element_type=jnp.float32) + p["b"]
+    xw_p, wh_p, H0 = pad_gate_blocks(xw, p["wh"], 4)
+    Hp = padded_hidden(H)
+    m_bh = jnp.broadcast_to(mask[:, :, None].astype(jnp.float32), (B, T, Hp))
+    hs_pal = fused_lstm_scan(xw_p, m_bh, wh_p, True)[..., :H0]
+    m = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(hs_scan) * m, np.asarray(hs_pal) * m, atol=2e-2, rtol=2e-2
+    )
+
+
+def test_padded_rnn_matches_scan():
+    ks = jax.random.split(jax.random.key(6), 2)
+    c = (1.0 / H) ** 0.5 * jax.random.normal(ks[0], (H, H), jnp.float32)
+    xin = jax.random.normal(ks[1], (B, T, H), jnp.float32) * 0.5
+    mask = _mask(7)
+
+    def step(h, xin_t):
+        h_new = jnp.tanh(xin_t + h @ c)
+        return h_new, h_new
+
+    hs_scan = base.scan_time_major(step, jnp.zeros((B, H), jnp.float32), xin, mask)
+    xin_p, c_p, H0 = pad_gate_blocks(xin, c, 1)
+    Hp = padded_hidden(H)
+    m_bh = jnp.broadcast_to(mask[:, :, None].astype(jnp.float32), (B, T, Hp))
+    hs_pal = fused_rnn_scan(xin_p, m_bh, c_p, True)[..., :H0]
+    m = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(hs_scan) * m, np.asarray(hs_pal) * m, atol=2e-2, rtol=2e-2
+    )
+    # Padded lanes must stay exactly zero through the whole recurrence.
+    full = fused_rnn_scan(xin_p, m_bh, c_p, True)
+    np.testing.assert_array_equal(np.asarray(full)[..., H0:], 0.0)
