@@ -155,12 +155,13 @@ def fused_ce_loss(q, table, bias, targets, mask, chunk_v: int = 2048) -> jax.Arr
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
-# Backward tile shape (independent of the forward's): measured best at bench
-# scale (V=44k, D=128) that fits the 16 MB scoped-VMEM budget alongside the
-# slab-resident dq block (_BWD_MAX_SLAB·D·4B = 8 MB).
-_BWD_CHUNK_V = 1024
-_BWD_ROW_BLOCK = 512
-_BWD_MAX_SLAB = 16384
+# Backward tile shape (independent of the forward's): swept on-chip at bench
+# scale (V=44k, D=128, N=16k) — cv=2048/rb=1024 measures 185 TF/s (94% of
+# v5e bf16 peak) vs 173 at 1024/512 — and fits the 16 MB scoped-VMEM budget
+# alongside the slab-resident dq block (_BWD_MAX_SLAB·D·4B = 8 MB).
+_BWD_CHUNK_V = 2048
+_BWD_ROW_BLOCK = 1024
+_BWD_MAX_SLAB = 8192
 
 
 def _logits_tile(q_ref, t_ref, b_ref):
@@ -246,8 +247,13 @@ def _pad_rows(a, rb, fill=0):
     return a
 
 
+# Forward tile shape: swept on-chip at bench scale — rb=2048/cv=512 measures
+# 165 TF/s vs 139 at 1024/1024. The forward is part-VPU-bound (|V| exps and
+# running maxes per row); tall row blocks amortize the per-tile VPU work
+# against more MXU work per table load. Removing the online max entirely
+# (unsafe) only reaches 178 TF/s, so the exact-LSE max loop stays.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def fused_ce_rows_pallas(q, table, bias, targets, chunk_v=1024, row_block=1024, interpret=False):
+def fused_ce_rows_pallas(q, table, bias, targets, chunk_v=512, row_block=2048, interpret=False):
     """Pallas fused CE: same contract as ``fused_ce_rows``."""
     nll, _ = _pallas_forward(q, table, bias, targets, chunk_v, row_block, interpret)
     return nll
@@ -374,7 +380,7 @@ fused_ce_rows_pallas.defvjp(_pallas_fwd, _pallas_bwd)
 
 
 def fused_ce_loss_pallas(
-    q, table, bias, targets, mask, chunk_v: int = 1024, row_block: int = 1024, interpret: bool = False
+    q, table, bias, targets, mask, chunk_v: int = 512, row_block: int = 2048, interpret: bool = False
 ) -> jax.Array:
     """Masked-mean Pallas fused CE over [B, T, D] queries."""
     B, T, D = q.shape
