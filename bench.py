@@ -22,7 +22,24 @@ import sys
 import time
 
 
-def _throughput(cfg, ds, steps=30, warmup=5, repeats=3) -> float:
+V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (MXU)
+
+
+def _step_flops(cfg, dims) -> float:
+    """Analytic whole-step matmul FLOPs (fwd + bwd ≈ 3x fwd for matmuls):
+    tower input/recurrent projections + the full-softmax CE logits matmul.
+    Used for the MFU line when the compiled cost analysis is unavailable."""
+    b, t = cfg.train.batch_size, cfg.data.max_seq_len
+    d, h = cfg.model.embed_dim, cfg.model.hidden_dim
+    v = dims.num_pois_padded
+    gates = {"gru": 3, "lstm": 4, "strnn": 1, "attention": 1}.get(cfg.model.kind, 1)
+    tower = 2 * b * t * (d + h) * gates * h * cfg.model.num_layers
+    proj = 2 * b * t * h * d if (h != d or not cfg.model.tie_output_embedding) else 0
+    ce = 2 * b * t * d * v
+    return 3.0 * (tower + proj + ce)
+
+
+def _throughput(cfg, ds, steps=30, warmup=5, repeats=5) -> float:
     """Best-of-``repeats`` timed windows. The TPU chip here is reached over a
     shared tunnel whose load swings measured step time by >2x run to run;
     best-of reflects the hardware capability rather than transient contention
@@ -128,6 +145,12 @@ def main() -> int:
     ours = _throughput(cfg_ours, ds)
     print(f"ours: {ours:.1f} seq/s", file=sys.stderr)
 
+    from poi_tpu.models.base import DataDims
+
+    flops = _step_flops(cfg_ours, DataDims.from_dataset(ds))
+    mfu = flops * (ours / cfg_ours.train.batch_size) / V5E_BF16_PEAK
+    print(f"whole-step MFU: {mfu:.1%} (analytic {flops / 1e9:.1f} GFLOP/step)", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -135,6 +158,7 @@ def main() -> int:
                 "value": round(ours, 1),
                 "unit": "seq/s",
                 "vs_baseline": round(ours / ref, 3),
+                "whole_step_mfu": round(mfu, 4),
             }
         )
     )

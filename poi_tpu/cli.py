@@ -110,6 +110,7 @@ def run_train(
     state = trainer.init_state()
 
     ckpt = None
+    loader_state = None
     if enable_checkpoint:
         ckpt = CheckpointManager(
             cfg.checkpoint.directory, cfg.checkpoint.max_to_keep, cfg.checkpoint.async_save
@@ -119,18 +120,22 @@ def run_train(
             from poi_tpu.parallel.shardings import state_shardings
 
             sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
-            state, _loader_state = ckpt.restore(abstract_like(state, sh))
+            state, loader_state = ckpt.restore(abstract_like(state, sh))
             log.info("resumed from checkpoint step %d", latest)
 
     metrics = MetricsLogger(metrics_dir, tensorboard=tensorboard)
     pw = profile_window(profile_dir, 10, 15)
 
+    def _loader_state_at(step):
+        ldr = trainer.active_loader
+        return ldr.state_at(step) if ldr is not None else None
+
     def callback(step, st, m):
         pw.step(step)
         if ckpt is not None and step % cfg.train.checkpoint_every == 0:
-            ckpt.save(step, st, config_json=cfg.to_json())
+            ckpt.save(step, st, loader_state=_loader_state_at(step), config_json=cfg.to_json())
         if step % cfg.train.eval_every == 0:
-            em = evaluate(trainer.model, st.params, ds, cfg)
+            em = evaluate(trainer.model, st.params, ds, cfg, mesh=trainer.mesh)
             metrics.write(step, {f"eval/{k}": v for k, v in em.items()})
 
     start = int(state.step)
@@ -140,20 +145,25 @@ def run_train(
         return 0
     try:
         trainer, state, history = train(
-            cfg, ds, num_steps=remaining, state=state, trainer=trainer, callbacks=[callback]
+            cfg, ds, num_steps=remaining, state=state, trainer=trainer,
+            callbacks=[callback], loader_state=loader_state,
         )
     finally:
         pw.close()
     for row in history:
         metrics.write(row["step"], {k: v for k, v in row.items() if k != "step"})
 
-    final = evaluate(trainer.model, state.params, ds, cfg)
+    final = evaluate(trainer.model, state.params, ds, cfg, mesh=trainer.mesh)
     pop = popularity_baseline(ds, cfg.eval.recall_ks)
     metrics.write(int(state.step), {f"final/{k}": v for k, v in final.items()})
     log.info("final eval: %s", final)
     log.info("popularity baseline: %s", pop)
     if ckpt is not None:
-        ckpt.save(int(state.step), state, config_json=cfg.to_json())
+        if ckpt.latest_step() != int(state.step):  # callback may have saved this step already
+            ckpt.save(
+                int(state.step), state,
+                loader_state=_loader_state_at(int(state.step)), config_json=cfg.to_json(),
+            )
         ckpt.wait()
         ckpt.close()
     metrics.close()
@@ -176,7 +186,7 @@ def run_eval(cfg) -> int:
     sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
     state, _ = ckpt.restore(abstract_like(state, sh))
     log.info("restored step %d", int(state.step))
-    m = evaluate(trainer.model, state.params, ds, cfg)
+    m = evaluate(trainer.model, state.params, ds, cfg, mesh=trainer.mesh)
     print(m)
     ckpt.close()
     return 0

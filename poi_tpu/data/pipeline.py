@@ -154,6 +154,14 @@ class TrainLoader:
         # that is the standard at-least-once semantic for loader checkpoints.
         return {"epoch": self._epoch, "pos": self._pos, "seed": self._seed}
 
+    def state_at(self, global_batches: int) -> dict:
+        """Exact loader state at the position where ``global_batches`` have
+        been CONSUMED by training. ``state()`` reads the prefetch position,
+        which runs ahead of the train step; checkpoints must record the
+        consumed position so a resumed run replays no batch and skips none."""
+        n = self.batches_per_epoch()
+        return {"epoch": global_batches // n, "pos": global_batches % n, "seed": self._seed}
+
     def restore(self, state: dict) -> None:
         self._epoch = int(state["epoch"])
         self._pos = int(state["pos"])
@@ -226,6 +234,11 @@ class GrainTrainLoader:
 
     def state(self) -> dict:
         return dict(self._it.get_state())
+
+    def state_at(self, global_batches: int) -> dict:
+        """Exact state at the consumed position (see TrainLoader.state_at):
+        one post-batch dataset element == one batch, so it is the count."""
+        return {"next_index": int(global_batches)}
 
     def restore(self, state: dict) -> None:
         self._it.set_state({"next_index": int(state["next_index"])})

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import numpy as np
 
 from poi_tpu.data.dataset import Dataset, bucketize_interp, haversine_km
@@ -30,14 +31,14 @@ class Checkin:
 
 
 class Recommender:
-    def __init__(self, model, params: dict, cfg: Config, dataset: Dataset):
+    def __init__(self, model, params: dict, cfg: Config, dataset: Dataset, mesh=None):
         self.model = model
         self.params = params
         self.cfg = cfg
         self.ds = dataset
+        self.mesh = mesh
         self.T = dataset.max_seq_len
-        (self._table, self._bias), self._order = prepare_catalog(params, cfg, dataset.poi_counts)
-        self._order_np = None if self._order is None else np.asarray(self._order)
+        self._prep = prepare_catalog(params, cfg, dataset.poi_counts, mesh)
 
     # ----------------------------------------------------------- featurize
     def _featurize(self, histories: list[list[Checkin]]) -> Batch:
@@ -104,10 +105,14 @@ class Recommender:
             batch = batch._replace(user=np.asarray(user_ids, np.int32))
         max_hist = max(len(h) for h in histories)
         fetch = k + (max_hist if exclude_visited else 0)
-        topk_fn = make_topk_fn(self.model, self.cfg, fetch)
-        ids = np.asarray(topk_fn(self.params, self._table, self._bias, batch))
-        if self._order_np is not None:
-            ids = self._order_np[ids]
+        topk_fn = make_topk_fn(self.model, self.cfg, fetch, mesh=self.mesh, tile_v=self._prep.tile_v)
+        if self.mesh is not None:
+            from poi_tpu.parallel.shardings import batch_shardings
+
+            batch = jax.device_put(batch, batch_shardings(batch, self.mesh))
+        ids = np.asarray(topk_fn(self.params, self._prep.table, self._prep.bias, batch))
+        if self._prep.id_map is not None:
+            ids = self._prep.id_map[ids]
         if not exclude_visited:
             return ids[:, :k]
         out = np.zeros((len(histories), k), np.int32)

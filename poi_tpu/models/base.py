@@ -141,6 +141,15 @@ def add_user_query(q: jax.Array, params: dict, batch: Batch, cfg: ModelConfig) -
 # --------------------------------------------------------------------------- #
 
 
+def dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
+    """Inverted dropout. Identity when ``rng`` is None (eval mode) or rate 0 —
+    so the same ``queries`` call site serves train and eval."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
 def init_linear(rng: jax.Array, n_in: int, n_out: int, scale: float | None = None) -> dict:
     if scale is None:
         scale = (1.0 / n_in) ** 0.5
@@ -211,13 +220,23 @@ class SequenceModel:
             params["proj"] = init_linear(k_proj, self.cfg.hidden_dim, self.cfg.embed_dim)
         return params
 
-    def queries(self, params: dict, batch: Batch) -> jax.Array:
+    def queries(self, params: dict, batch: Batch, rng: jax.Array | None = None) -> jax.Array:
         """[B, T, D] scoring queries (fp32). named_scope regions show up in
-        profiler traces (SURVEY.md §5 tracing)."""
+        profiler traces (SURVEY.md §5 tracing).
+
+        ``rng`` enables train-mode dropout (``cfg.dropout``) on the summed
+        input embeddings and the tower output; eval passes no rng and gets
+        the deterministic path.
+        """
+        k_in = k_out = None
+        if rng is not None and self.cfg.dropout > 0.0:
+            k_in, k_out = jax.random.split(rng)
         with jax.named_scope("embed_lookup"):
             x = input_embeddings(params["embed"], batch, self.cfg, self.lookup)
+            x = dropout(x, self.cfg.dropout, k_in)
         with jax.named_scope(f"tower_{self.cfg.kind}"):
             h = self.tower(params["tower"], x, batch)
+            h = dropout(h, self.cfg.dropout, k_out)
         with jax.named_scope("query_proj"):
             q = linear(params["proj"], h, compute_dtype(self.cfg)) if "proj" in params else h
             return add_user_query(q.astype(jnp.float32), params, batch, self.cfg)

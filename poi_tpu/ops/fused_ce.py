@@ -158,7 +158,10 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 # Backward tile shape (independent of the forward's): swept on-chip at bench
 # scale (V=44k, D=128, N=16k) — cv=2048/rb=1024 measures 185 TF/s (94% of
 # v5e bf16 peak) vs 173 at 1024/512 — and fits the 16 MB scoped-VMEM budget
-# alongside the slab-resident dq block (_BWD_MAX_SLAB·D·4B = 8 MB).
+# alongside the slab-resident dq block (_BWD_MAX_SLAB·D·4B, 4 MB at D=128).
+# N-dependence: each slab re-streams the full table from HBM, so runs with
+# N >> _BWD_MAX_SLAB pay extra table traffic per slab halving — re-sweep the
+# slab size if the bench batch shape grows materially.
 _BWD_CHUNK_V = 2048
 _BWD_ROW_BLOCK = 1024
 _BWD_MAX_SLAB = 8192

@@ -150,9 +150,15 @@ def fused_topk(
     bias: jax.Array,  # [V]
     k: int,
     tile_v: int = 2048,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (values [B, k] fp32 desc-sorted, ids [B, k] int32)."""
+    """Returns (values [B, k] fp32 desc-sorted, ids [B, k] int32).
+
+    ``interpret=None`` auto-selects: compiled Mosaic on TPU, Pallas interpret
+    mode elsewhere (the CPU fake-device meshes used in tests).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, D = q.shape
     V = table.shape[0]
     if V % tile_v != 0:
@@ -204,7 +210,7 @@ def xla_topk(q: jax.Array, table: jax.Array, bias: jax.Array, k: int) -> tuple[j
     return jax.lax.top_k(scores, k)
 
 
-def make_sharded_topk(mesh, k: int, impl: str = "xla", tile_v: int = 2048):
+def make_sharded_topk(mesh, k: int, impl: str = "xla", tile_v: int = 2048, interpret: bool | None = None):
     """Top-k over a vocab-sharded catalog (SURVEY.md §2.2 T9, eval side).
 
     Each 'model' shard scores its [V/M, D] rows and takes a LOCAL top-k
@@ -233,7 +239,7 @@ def make_sharded_topk(mesh, k: int, impl: str = "xla", tile_v: int = 2048):
     def topk(q_blk, t_blk, b_blk):
         rows = t_blk.shape[0]
         if impl == "pallas":
-            vals, ids = fused_topk(q_blk, t_blk, b_blk, k, tile_v=tile_v)
+            vals, ids = fused_topk(q_blk, t_blk, b_blk, k, tile_v=tile_v, interpret=interpret)
         else:
             vals, ids = xla_topk(q_blk, t_blk, b_blk, k)
         ids = ids + cc.axis_index(MODEL_AXIS) * rows

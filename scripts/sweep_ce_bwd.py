@@ -9,7 +9,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 from poi_tpu.ops import fused_ce as fc  # noqa: E402
 

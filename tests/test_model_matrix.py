@@ -37,6 +37,62 @@ def test_model_loss_matrix_trains(kind, loss, ds_and_cfg):
     assert losses[-1] < losses[0], (kind, loss, losses)
 
 
+@pytest.mark.parametrize("kind", ["gru", "lstm"])
+def test_stacked_layers_train(kind, ds_and_cfg):
+    """num_layers=2 (VERDICT r1 Weak #6): the stacked path — per-layer mask
+    semantics and per-layer cell dispatch — must train with decreasing loss
+    and produce different params shapes than 1 layer."""
+    cfg, ds = ds_and_cfg
+    cfg = cfg.with_overrides(
+        {
+            "model.kind": kind,
+            "model.num_layers": "2",
+            "train.num_steps": "40",
+            "train.log_every": "20",
+        }
+    )
+    trainer, state, history = train(cfg, ds)
+    assert len(state.params["tower"]["layers"]) == 2
+    losses = [h["loss"] for h in history]
+    assert all(np.isfinite(l) for l in losses) and losses[-1] < losses[0], losses
+
+
+def test_dropout_trains_and_is_off_at_eval(ds_and_cfg):
+    """cfg.model.dropout (VERDICT r1 Weak #5): train-mode queries with an rng
+    are stochastic; eval-mode queries (no rng) are deterministic and
+    dropout-free; the loss still decreases."""
+    import jax
+    import jax.numpy as jnp
+
+    from poi_tpu.data.pipeline import TrainLoader
+    from poi_tpu.models.base import DataDims, build_model
+
+    cfg, ds = ds_and_cfg
+    cfg = cfg.with_overrides(
+        {"model.dropout": "0.5", "train.num_steps": "60", "train.log_every": "20"}
+    )
+    model = build_model(cfg.model, DataDims.from_dataset(ds))
+    params = model.init(jax.random.key(0))
+    loader = TrainLoader(ds.train, batch_size=8, seed=0)
+    batch = next(loader)
+    loader.close()
+
+    q_eval1 = model.queries(params, batch)
+    q_eval2 = model.queries(params, batch)
+    np.testing.assert_array_equal(np.asarray(q_eval1), np.asarray(q_eval2))
+
+    q_tr1 = model.queries(params, batch, rng=jax.random.key(1))
+    q_tr2 = model.queries(params, batch, rng=jax.random.key(2))
+    assert not np.allclose(np.asarray(q_tr1), np.asarray(q_tr2))
+    assert not np.allclose(np.asarray(q_tr1), np.asarray(q_eval1))
+    # Inverted dropout keeps expectations comparable (coarse check).
+    assert abs(float(jnp.mean(jnp.abs(q_tr1))) - float(jnp.mean(jnp.abs(q_eval1)))) < 1.0
+
+    _, state, history = train(cfg, ds)
+    losses = [h["loss"] for h in history]
+    assert all(np.isfinite(l) for l in losses) and losses[-1] < losses[0], losses
+
+
 @pytest.mark.slow
 def test_multihost_1m_config_scaled(eight_devices):
     """The config-#5 path (a2a tables + user embedding + sampled softmax +

@@ -16,6 +16,7 @@ _WORKER = textwrap.dedent(
     import json, os, sys
     pid = int(sys.argv[1])
     port = sys.argv[2]
+    ckpt_dir = sys.argv[3]
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -27,7 +28,10 @@ _WORKER = textwrap.dedent(
 
     from poi_tpu.configs.presets import get_config
     from poi_tpu.data.dataset import load_dataset
+    from poi_tpu.eval.evaluate import evaluate
+    from poi_tpu.parallel.shardings import state_shardings
     from poi_tpu.train.loop import train
+    from poi_tpu.utils.checkpoint import CheckpointManager, abstract_like
 
     cfg = get_config("smoke").with_overrides(
         {
@@ -36,21 +40,34 @@ _WORKER = textwrap.dedent(
             "train.num_steps": "5",
             "train.log_every": "1",
             "train.batch_size": "16",
+            "eval.topk_impl": "pallas",
         }
     )
     ds = load_dataset(cfg.data)
     trainer, state, history = train(cfg, ds)
-    print("RESULT " + json.dumps({"pid": pid, "losses": [h["loss"] for h in history]}))
+
+    # Checkpoint sharded state from both processes, restore, then evaluate —
+    # the full multi-host "train -> checkpointed eval" path (SURVEY.md T7).
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(int(state.step), state, config_json=cfg.to_json())
+    mgr.wait()
+    sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
+    restored, _ = mgr.restore(abstract_like(state, sh))
+    m = evaluate(trainer.model, restored.params, ds, cfg, mesh=trainer.mesh)
+    mgr.close()
+    print("RESULT " + json.dumps(
+        {"pid": pid, "losses": [h["loss"] for h in history], "eval": m}
+    ))
     """
 )
 
 
 @pytest.mark.slow
-def test_two_process_training(tmp_path):
+def test_two_process_train_checkpoint_eval(tmp_path):
     port = "29741"
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(i), port],
+            [sys.executable, "-c", _WORKER, str(i), port, str(tmp_path / "ckpt")],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -75,3 +92,43 @@ def test_two_process_training(tmp_path):
         assert abs(a - b) < 1e-5, (l0, l1)
     # And the optimization makes progress.
     assert l0[-1] < l0[0]
+    # Post-restore eval: identical global metrics on every process, over the
+    # full test set (each process scored only its own data-shard rows).
+    e0, e1 = results[0]["eval"], results[1]["eval"]
+    assert e0.keys() == e1.keys() and "recall@10" in e0
+    for k in e0:
+        assert abs(e0[k] - e1[k]) < 1e-9, (k, e0, e1)
+    assert e0["eval_examples"] == float(len_test_examples())
+
+
+def len_test_examples():
+    from poi_tpu.configs.presets import get_config
+    from poi_tpu.data.dataset import load_dataset
+
+    return len(load_dataset(get_config("smoke").data).test)
+
+
+@pytest.mark.slow
+def test_scaling_bench_harness_two_process(tmp_path):
+    """The hardware-ready scaling harness (VERDICT r1 item 7) under the local
+    two-process gloo rig: both runs complete and the efficiency table renders."""
+    import os
+
+    out = tmp_path / "scaling.json"
+    env = dict(os.environ, SCALING_BENCH_PORT="29882")
+    common = ["--config", "smoke", "--steps", "8", "--warmup", "2", "--repeats", "1",
+              "--out", str(out)]
+    r1 = subprocess.run(
+        [sys.executable, "scripts/scaling_bench.py", "--platform", "cpu", *common],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300, env=env,
+    )
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    r2 = subprocess.run(
+        [sys.executable, "scripts/scaling_bench.py", "--local-processes", "2", *common],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600, env=env,
+    )
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "SCALING" in r2.stdout and "efficiency" in r2.stdout
+    rows = json.loads(out.read_text())
+    assert [r["processes"] for r in rows] == [1, 2]
+    assert all(r["global_seqs_per_sec"] > 0 for r in rows)
