@@ -45,6 +45,17 @@ def main(argv: list[str] | None = None) -> int:
     add_common(p_eval)
     p_eval.add_argument("--checkpoint-dir", default=None)
 
+    p_rec = sub.add_parser(
+        "recommend",
+        help="one-shot serving: JSON check-in histories in, top-k POI ids out",
+    )
+    add_common(p_rec)
+    p_rec.add_argument("--checkpoint-dir", default=None)
+    p_rec.add_argument("--input", default="-", help="JSON file of histories ('-' = stdin): "
+                       '[[{"poi": 1, "timestamp": 1000.0}, ...], ...]')
+    p_rec.add_argument("--k", type=int, default=10)
+    p_rec.add_argument("--include-visited", action="store_true")
+
     p_cfgs = sub.add_parser("configs", help="list named configs")
 
     args = parser.parse_args(argv)
@@ -79,6 +90,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.cmd == "eval":
         return run_eval(cfg)
+    if args.cmd == "recommend":
+        return run_recommend(cfg, args.input, args.k, not args.include_visited)
     return 1
 
 
@@ -170,15 +183,55 @@ def run_train(
     return 0
 
 
+def _restore_for_inference(cfg):
+    """Shared eval/serve bring-up: dataset + trainer + restored state."""
+    from poi_tpu.data.dataset import load_dataset
+    from poi_tpu.models.base import DataDims
+    from poi_tpu.parallel import mesh as mesh_lib
+    from poi_tpu.parallel.shardings import state_shardings
+    from poi_tpu.train.loop import Trainer
+    from poi_tpu.utils.checkpoint import CheckpointManager, abstract_like
+
+    mesh_lib.maybe_init_distributed()
+    ds = load_dataset(cfg.data)
+    trainer = Trainer(cfg, DataDims.from_dataset(ds))
+    state = trainer.init_state()
+    ckpt = CheckpointManager(cfg.checkpoint.directory)
+    sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
+    state, _ = ckpt.restore(abstract_like(state, sh))
+    ckpt.close()
+    return ds, trainer, state
+
+
+def run_recommend(cfg, input_path: str, k: int, exclude_visited: bool) -> int:
+    import json
+
+    from poi_tpu.eval.serve import Checkin, Recommender
+
+    raw = sys.stdin.read() if input_path == "-" else open(input_path).read()
+    histories = [
+        [Checkin(poi=int(c["poi"]), timestamp=float(c["timestamp"]),
+                 lat=c.get("lat"), lon=c.get("lon")) for c in hist]
+        for hist in json.loads(raw)
+    ]
+    ds, trainer, state = _restore_for_inference(cfg)
+    rec = Recommender(trainer.model, state.params, cfg, ds, mesh=trainer.mesh)
+    out = rec.recommend(histories, k=k, exclude_visited=exclude_visited)
+    print(json.dumps(out.tolist()))
+    return 0
+
+
 def run_eval(cfg) -> int:
     from poi_tpu.data.dataset import load_dataset
     from poi_tpu.eval.evaluate import evaluate
     from poi_tpu.models.base import DataDims
+    from poi_tpu.parallel import mesh as mesh_lib
     from poi_tpu.train.loop import Trainer
     from poi_tpu.utils.checkpoint import CheckpointManager, abstract_like
     from poi_tpu.parallel.shardings import state_shardings
 
     log = logging.getLogger("poi_tpu.cli")
+    mesh_lib.maybe_init_distributed()
     ds = load_dataset(cfg.data)
     trainer = Trainer(cfg, DataDims.from_dataset(ds))
     state = trainer.init_state()

@@ -106,11 +106,19 @@ class Recommender:
         max_hist = max(len(h) for h in histories)
         fetch = k + (max_hist if exclude_visited else 0)
         topk_fn = make_topk_fn(self.model, self.cfg, fetch, mesh=self.mesh, tile_v=self._prep.tile_v)
+        n_req = len(histories)
         if self.mesh is not None:
+            from poi_tpu.parallel.mesh import DATA_AXIS
             from poi_tpu.parallel.shardings import batch_shardings
 
+            # Pad the request batch to the data-axis size (static shards).
+            pad = (-n_req) % self.mesh.shape[DATA_AXIS]
+            if pad:
+                batch = jax.tree.map(
+                    lambda x: np.concatenate([x, np.repeat(x[:1], pad, axis=0)]), batch
+                )
             batch = jax.device_put(batch, batch_shardings(batch, self.mesh))
-        ids = np.asarray(topk_fn(self.params, self._prep.table, self._prep.bias, batch))
+        ids = np.asarray(topk_fn(self.params, self._prep.table, self._prep.bias, batch))[:n_req]
         if self._prep.id_map is not None:
             ids = self._prep.id_map[ids]
         if not exclude_visited:

@@ -1,0 +1,108 @@
+"""Config-#5 scale on ONE chip: 1M-POI catalog, 512-d tables (BASELINE.json:11).
+
+Measures (VERDICT r1 item 4 — the single-chip point of the multi-host config):
+  1. sampled-softmax training throughput (seq/s) at V=1M, D=512, B=512,
+     attention tower, device-sampled batches, K-step dispatch;
+  2. fused top-k QPS over the tile-padded 1M catalog (slope-of-mins timing —
+     in-graph chained iterations at two lengths cancel the fixed ~25 ms
+     tunnel round-trip, see BASELINE.md timing notes);
+  3. HBM high-water mark (device memory_stats when the backend exposes it).
+
+    python scripts/bench_1m.py
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def topk_qps(v=1_000_000, d=512, b=512, k=10, tile_v=2048) -> tuple[float, float]:
+    """Fused top-k queries/s at catalog scale; returns (qps, ms_per_batch)."""
+    from poi_tpu.ops.topk import fused_topk, pad_table_for_topk
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(v, d)), jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(v,)), jnp.float32)
+    table, bias = pad_table_for_topk(table, bias, tile_v)
+    q = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(q, table, bias, n):
+        def body(i, acc):
+            # acc feeds back into q: data dependence defeats loop hoisting.
+            qi = q + (acc * 1e-30).astype(q.dtype)
+            vals, _ = fused_topk(qi, table, bias, k, tile_v=tile_v)
+            return jnp.sum(vals)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def timed(n, trials=4):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(chain(q, table, bias, n))  # device->host fence
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    float(chain(q, table, bias, 2))  # compile + warm
+    n_lo, n_hi = 3, 13
+    per_batch = (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo)
+    return b / per_batch, per_batch * 1e3
+
+
+def train_seqs_per_sec() -> tuple[float, dict]:
+    """Config #5 training on one chip (mesh model=1), device-sampled batches."""
+    import bench  # repo-root bench.py: reuse the honest-fence throughput timer
+    from poi_tpu.configs.presets import get_config
+    from poi_tpu.data.dataset import load_dataset
+
+    cfg = get_config("multihost_1m").with_overrides(
+        {
+            "mesh.model": "1",
+            "mesh.embedding_mode": "psum",
+            "data.num_users": "20000",  # enough active users for realistic ids
+            "data.mean_checkins_per_user": "50",
+            "train.steps_per_call": "10",
+            "data.sampler": "device",
+            "train.warmup_steps": "0",
+        }
+    )
+    print("synthesizing 1M-POI dataset...", file=sys.stderr, flush=True)
+    ds = load_dataset(cfg.data)
+    print(
+        f"dataset: {ds.num_users} users {ds.num_pois} pois {len(ds.train)} train examples",
+        file=sys.stderr, flush=True,
+    )
+    sps = bench._throughput(cfg, ds, steps=30, warmup=10, repeats=3)
+    stats = {}
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        stats = {kk: ms[kk] for kk in ("bytes_in_use", "peak_bytes_in_use") if kk in ms}
+    except Exception:
+        pass
+    return sps, stats
+
+
+def main() -> int:
+    qps, ms = topk_qps()
+    print(f"fused top-k @ V=1M D=512 B=512 k=10: {qps:,.0f} qps ({ms:.2f} ms/batch)")
+    sps, stats = train_seqs_per_sec()
+    print(f"config#5 1-chip sampled-softmax training: {sps:,.1f} seq/s")
+    if stats:
+        print(f"HBM: {', '.join(f'{k}={v/2**30:.2f} GiB' for k, v in stats.items())}")
+    else:
+        print("HBM: memory_stats not exposed by this backend")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,6 +45,60 @@ def test_exclude_visited(setup):
     assert out2.shape == (1, 10)
 
 
+def test_recommend_on_sharded_mesh(setup, eight_devices):
+    """Serving against vocab-sharded params on a mesh, including the
+    pad-to-data-axis path (3 requests on a 4-wide data axis)."""
+    from poi_tpu.parallel.mesh import make_mesh
+    from poi_tpu.train.loop import Trainer
+
+    cfg, ds, _, _ = setup
+    trainer = Trainer(cfg, DataDims.from_dataset(ds), mesh=make_mesh(data=4, model=2))
+    state = trainer.init_state()
+    rec = Recommender(trainer.model, state.params, cfg, ds, mesh=trainer.mesh)
+    histories = [
+        [Checkin(poi=1, timestamp=1000.0), Checkin(poi=2, timestamp=5000.0)],
+        [Checkin(poi=3, timestamp=2000.0)],
+        [Checkin(poi=5, timestamp=9000.0)],
+    ]
+    out = rec.recommend(histories, k=5)
+    assert out.shape == (3, 5)
+    assert (out >= 0).all() and (out < ds.num_pois).all()
+    out2 = rec.recommend(histories, k=5)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_cli_recommend_roundtrip(setup, tmp_path):
+    """`poi_tpu recommend`: checkpoint -> JSON histories in -> top-k ids out."""
+    import json
+
+    from poi_tpu.cli import run_recommend
+    from poi_tpu.models.base import DataDims
+    from poi_tpu.parallel.shardings import state_shardings
+    from poi_tpu.train.loop import Trainer
+    from poi_tpu.utils.checkpoint import CheckpointManager
+
+    cfg, ds, _, _ = setup
+    cfg = cfg.with_overrides({"checkpoint.directory": str(tmp_path / "ckpt")})
+    trainer = Trainer(cfg, DataDims.from_dataset(ds))
+    state = trainer.init_state()
+    mgr = CheckpointManager(cfg.checkpoint.directory)
+    mgr.save(0, state)
+    mgr.wait()
+    mgr.close()
+
+    inp = tmp_path / "histories.json"
+    inp.write_text(json.dumps([[{"poi": 1, "timestamp": 1000.0}, {"poi": 2, "timestamp": 5000.0}]]))
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = run_recommend(cfg, str(inp), 5, True)
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert len(out) == 1 and len(out[0]) == 5
+    assert all(0 <= p < ds.num_pois for p in out[0])
+
+
 def test_serving_matches_offline_eval(setup):
     """A history replayed through the Recommender must rank like the offline
     eval path on the same context (same featurization, same scorer)."""
