@@ -83,6 +83,13 @@ register(
 )
 
 # --- config #3: ST-RNN with time/distance interpolation, Gowalla (B:9) -------
+# use_user_embedding=True is paper-faithful (the ST-RNN lineage scores with a
+# permanent per-user vector alongside the recurrent state) and is decisive on
+# check-in data: the 2026-08-19 probe sweep measured r@10 0.330 with it vs
+# 0.157 without (popularity floor 0.165) — capacity alone (256-d, no user
+# vector) stays below the floor. 128-d beat 64-d by +8% r@10. dropout=0.5
+# tames the 19.5k-window overfit (without it r@10 peaks 0.33 at step 2k and
+# decays to 0.24 by 5k; with it the curve holds 0.35 from 3k on).
 register(
     Config(
         name="strnn_gowalla",
@@ -95,7 +102,10 @@ register(
             time_gap_buckets=8,
             dist_buckets=8,
         ),
-        model=ModelConfig(kind="strnn", embed_dim=64, hidden_dim=64),
+        model=ModelConfig(
+            kind="strnn", embed_dim=128, hidden_dim=128,
+            use_user_embedding=True, dropout=0.5,
+        ),
         loss=LossConfig(kind="ce"),
         train=TrainConfig(batch_size=64, num_steps=5_000),
         mesh=MeshConfig(data=-1, model=1),

@@ -139,10 +139,13 @@ class Trainer:
             loss, grads = jax.value_and_grad(compute_loss)(state.params)
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            from poi_tpu.train.state import lr_schedule
+
             metrics = {
                 "loss": loss,
                 "grad_norm": optax.global_norm(grads),
                 "param_norm": optax.global_norm(params),
+                "lr": lr_schedule(cfg.train)(state.step),
             }
             if a2a_shards > 1:
                 # MoE-style capacity guard (SURVEY.md §7 "ragged all-to-all"):
@@ -158,7 +161,7 @@ class Trainer:
             new_state = TrainState(state.step + 1, params, opt_state, state.rng)
             return new_state, metrics
 
-        metric_keys = {"loss": 0.0, "grad_norm": 0.0, "param_norm": 0.0}
+        metric_keys = {"loss": 0.0, "grad_norm": 0.0, "param_norm": 0.0, "lr": 0.0}
         if a2a_shards > 1:
             metric_keys["a2a_overflow"] = 0.0
         return step_fn, metric_keys

@@ -18,6 +18,13 @@ class TrainState(NamedTuple):
     rng: jax.Array  # PRNG key threaded through sampled losses
 
 
+def lr_schedule(cfg: TrainConfig):
+    """The LR schedule as a callable(step) — also used for logging."""
+    if cfg.warmup_steps > 0:
+        return optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+    return lambda step: jnp.asarray(cfg.learning_rate, jnp.float32)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """Warmup → constant LR with global-norm clipping.
 
@@ -25,10 +32,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     (SURVEY.md §2.1 R9); adam is the default here, with sgd/adagrad available
     for parity experiments.
     """
-    if cfg.warmup_steps > 0:
-        lr = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
-    else:
-        lr = cfg.learning_rate
+    lr = lr_schedule(cfg)
     if cfg.optimizer == "adam":
         opt = optax.adamw(lr, weight_decay=cfg.weight_decay) if cfg.weight_decay else optax.adam(lr)
     elif cfg.optimizer == "adagrad":

@@ -94,6 +94,51 @@ def test_dropout_trains_and_is_off_at_eval(ds_and_cfg):
 
 
 @pytest.mark.slow
+def test_strnn_beats_popularity_baseline():
+    """VERDICT r1 item 3 regression guard: the ST-RNN family config (user
+    embedding + transition interpolation) must beat the popularity floor on
+    a scaled-down synthetic Gowalla. On-chip config #3 measures r@10 ~2x the
+    floor (BASELINE.md); this CPU point was calibrated at ~0.31 vs floor
+    ~0.27 in 1500 steps."""
+    from poi_tpu.eval.evaluate import evaluate, popularity_baseline
+
+    cfg = get_config("strnn_gowalla").with_overrides(
+        {
+            "data.num_users": "500",
+            "data.num_pois": "3000",
+            "data.mean_checkins_per_user": "40",
+            "data.min_user_checkins": "4",
+            "data.min_poi_checkins": "2",
+            "model.embed_dim": "32",
+            "model.hidden_dim": "32",
+            "model.dropout": "0",  # 1500 CPU steps at 32-d: dropout just slows convergence
+            "train.num_steps": "1500",
+            "train.log_every": "500",
+            "train.batch_size": "32",
+            "eval.max_eval_users": "2000",
+        }
+    )
+    import jax
+
+    from poi_tpu.models.base import DataDims
+    from poi_tpu.parallel.mesh import make_mesh
+    from poi_tpu.train.loop import Trainer
+
+    ds = load_dataset(cfg.data)
+    # Single-device mesh: 1500 steps of an 8-way-replicated program can trip
+    # XLA-CPU's 40 s collective-rendezvous timeout on a loaded CI box.
+    trainer = Trainer(
+        cfg, DataDims.from_dataset(ds),
+        mesh=make_mesh(data=1, model=1, devices=np.array(jax.devices()[:1])),
+    )
+    trainer, state, _ = train(cfg, ds, trainer=trainer)
+    m = evaluate(trainer.model, state.params, ds, cfg)
+    pop = popularity_baseline(ds, cfg.eval.recall_ks)
+    assert m["recall@10"] > pop["recall@10"], (m, pop)
+    assert m["recall@1"] > pop["recall@1"] + 0.02, (m, pop)
+
+
+@pytest.mark.slow
 def test_multihost_1m_config_scaled(eight_devices):
     """The config-#5 path (a2a tables + user embedding + sampled softmax +
     attention tower) end-to-end on a (4, 2) fake mesh, scaled to CPU size."""
