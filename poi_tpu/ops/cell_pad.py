@@ -27,6 +27,56 @@ import jax.numpy as jnp
 
 LANES = 128
 
+# Per-kernel VMEM estimate budget for the fused recurrence kernels. 14 MB
+# (1x-counted streamed blocks + resident weights/accumulators) keeps every
+# measured bench config (B=256, H=128) on its proven full-batch/unroll-8
+# tiling while forcing batch tiles at config #4/#5 shapes (B=512, H=512),
+# where the untiled blocks blow the Mosaic scoped-VMEM stack (measured:
+# 49 MB vs the 16 MB default limit). The pallas_calls raise their own
+# vmem_limit_bytes to CELL_VMEM_LIMIT for headroom over this estimate
+# (double-buffering of streamed blocks is not counted here).
+CELL_VMEM_BUDGET = 14 * 2**20
+CELL_VMEM_LIMIT = 64 * 2**20
+
+
+def pick_cell_tiles(
+    B: int,
+    T: int,
+    H: int,
+    stream_blocks: int,
+    carries: int,
+    resident_bytes: int,
+    budget: int = CELL_VMEM_BUDGET,
+    max_unroll: int = 8,
+) -> tuple[int, int]:
+    """(bt, u) for a fused-recurrence grid (B/bt, T/u) that fits scoped VMEM.
+
+    ``stream_blocks``: number of H-lane-wide f32 [u, bt, H] blocks streamed per
+    grid step (an [u, bt, n_gates*H] block counts n_gates). ``carries``: number
+    of [bt, H] f32 scratch carries. ``resident_bytes``: weight / accumulator
+    blocks live for the whole grid. Maximizes work per grid step (u*bt),
+    tie-breaking toward larger batch tiles — within a grid step the u
+    timesteps are serial while the bt rows are parallel MXU work, so at equal
+    u*bt the bigger matmul hides the recurrence latency better.
+    """
+    bts = sorted((b for b in range(8, B + 1, 8) if B % b == 0), reverse=True)
+    best: tuple[int, int, int] | None = None
+    for u in (8, 4, 2, 1):
+        if u > max_unroll or T % u:
+            continue
+        for bt in bts:
+            total = u * bt * H * 4 * stream_blocks + bt * H * 4 * carries + resident_bytes
+            if total <= budget:
+                cand = (u * bt, bt, u)
+                if best is None or cand > best:
+                    best = cand
+                break  # smaller bt at this u can't beat this u*bt
+    if best is None:
+        # Even the smallest tile overflows the estimate budget; rely on the
+        # raised vmem_limit_bytes headroom rather than emit an invalid grid.
+        return bts[-1], 1
+    return best[1], best[2]
+
 
 def padded_hidden(H: int) -> int:
     return -(-H // LANES) * LANES

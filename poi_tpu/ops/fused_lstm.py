@@ -1,8 +1,9 @@
 """Pallas fused LSTM recurrence (reference R5's ``theano.scan`` hot loop,
 config #2 — BASELINE.json:8). Same design as ``ops/fused_gru.py``: the whole
-T-step recurrence runs as ONE kernel forward and ONE kernel backward, carry in
-VMEM scratch, gates recomputed flash-style in backward from the stashed
-(h, c) streams.
+T-step recurrence runs as ONE kernel forward and ONE kernel backward over a
+(B/bt, T/u) grid, carries in VMEM scratch per batch tile, gates recomputed
+flash-style in backward from the stashed (h, c) streams, and tile sizes from
+``ops/cell_pad.pick_cell_tiles`` so config #4/#5 shapes fit scoped VMEM.
 
 Masking contract differs from the GRU. The GRU folds the padding mask into
 the update-gate input (z == 0 ⇒ carry passes through). An LSTM has no single
@@ -27,12 +28,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Timesteps unrolled inside each grid step (see ops/fused_gru.py).
-_UNROLL = 8
+from poi_tpu.ops.cell_pad import CELL_VMEM_LIMIT, pick_cell_tiles
+
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("arbitrary", "arbitrary"),  # both grid dims carry scratch state
+    vmem_limit_bytes=CELL_VMEM_LIMIT,
+)
 
 
 def _gates(h_prev, xw_t, wh_ref):
-    """Shared fwd gate math. h_prev [B, H] f32, xw_t [B, 4H] f32."""
+    """Shared fwd gate math. h_prev [bt, H] f32, xw_t [bt, 4H] f32."""
     H = h_prev.shape[1]
     hw = jnp.dot(h_prev.astype(jnp.bfloat16), wh_ref[:], preferred_element_type=jnp.float32)
     pre = xw_t + hw
@@ -44,7 +49,7 @@ def _gates(h_prev, xw_t, wh_ref):
 
 
 def _fwd_kernel(xw_ref, m_ref, wh_ref, hs_out, cs_out, h_scr, c_scr):
-    t = pl.program_id(0)
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
@@ -69,13 +74,16 @@ def _bwd_kernel(
     xw_ref, m_ref, wh_ref, hprev_ref, cprev_ref, dhs_ref,
     dxw_out, dwh_out, dh_scr, dc_scr, dwh_scr,
 ):
-    t = pl.program_id(0)  # walks T-1 .. 0 via reversed index maps
-    H = dh_scr.shape[1]
+    b = pl.program_id(0)
+    t = pl.program_id(1)  # walks T-1 .. 0 via reversed index maps
 
     @pl.when(t == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    @pl.when((t == 0) & (b == 0))
+    def _():
         dwh_scr[:] = jnp.zeros_like(dwh_scr)
 
     dh, dc = dh_scr[:], dc_scr[:]
@@ -92,14 +100,14 @@ def _bwd_kernel(
         di_pre = dc_raw * g * i * (1.0 - i)
         df_pre = dc_raw * c_prev * f * (1.0 - f)
         dg_pre = dc_raw * i * (1.0 - g * g)
-        dxw = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=1)  # [B, 4H]
+        dxw = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=1)  # [bt, 4H]
         dxw_out[u] = dxw
         # LSTM gate pre-activations see xw + h_prev·wh symmetrically, so the
         # h-side cotangent equals dxw (unlike the GRU, where the n-gate's
         # h path is scaled by r).
         dh = dh * (1.0 - m) + jax.lax.dot_general(
             dxw.astype(jnp.bfloat16), wh_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),  # dxw @ wh^T -> [B, H]
+            dimension_numbers=(((1,), (1,)), ((), ())),  # dxw @ wh^T -> [bt, H]
             preferred_element_type=jnp.float32,
         )
         dc = dc * (1.0 - m) + dc_raw * f
@@ -112,90 +120,98 @@ def _bwd_kernel(
     dc_scr[:] = dc
     dwh_scr[:] = dwh_acc
 
-    @pl.when(t == pl.num_programs(0) - 1)
+    @pl.when((t == pl.num_programs(1) - 1) & (b == pl.num_programs(0) - 1))
     def _():
         dwh_out[:] = dwh_scr[:]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_lstm_scan(xw, mask_bh, wh, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_lstm_scan(xw, mask_bh, wh, interpret: bool = False, tiles: tuple | None = None):
     """[B, T, 4H] pre-projected gate inputs (i|f|g|o column order), [B, T, H]
     float padding mask (1 = valid), [H, 4H] recurrent weights → [B, T, H]
     hidden states. h0 = c0 = zeros. Padded steps emit the carried h (the
     masked-scan oracle emits the raw step output there; both are ignored
-    downstream — see tests/test_fused_lstm.py)."""
-    hs, _ = _fwd(xw, mask_bh, wh, interpret)
+    downstream — see tests/test_fused_lstm.py). ``tiles`` overrides the
+    auto-picked (bt_fwd, u_fwd, bt_bwd, u_bwd) — test hook."""
+    hs, _ = _fwd(xw, mask_bh, wh, interpret, tiles)
     return hs
 
 
-def _fwd(xw, mask_bh, wh, interpret):
+def _fwd(xw, mask_bh, wh, interpret, tiles):
     B, T, H4 = xw.shape
     H = H4 // 4
-    u = _UNROLL if T % _UNROLL == 0 else 1
-    # Time-major [T, B, .] so each grid step's block is a well-tiled (B, .).
+    # Streams: xw (4 gate blocks) + mask (1) + hs out (1) + cs out (1);
+    # carries: h, c; resident: wh (bf16).
+    bt, u = tiles[:2] if tiles else pick_cell_tiles(B, T, H, 7, 2, H * H4 * 2)
+    # Time-major [T, B, .] so each grid step's block is a well-tiled (bt, .).
     xw_tm = jnp.swapaxes(xw.astype(jnp.float32), 0, 1)
     m_tm = jnp.swapaxes(mask_bh.astype(jnp.float32), 0, 1)
     hs_tm, cs_tm = pl.pallas_call(
         _fwd_kernel,
-        grid=(T // u,),
+        grid=(B // bt, T // u),
         in_specs=[
-            pl.BlockSpec((u, B, H4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H4), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((u, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32), pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32), pltpu.VMEM((bt, H), jnp.float32)],
+        compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
     )(xw_tm, m_tm, wh.astype(jnp.bfloat16))
     return jnp.swapaxes(hs_tm, 0, 1), (xw_tm, m_tm, wh, hs_tm, cs_tm)
 
 
-def _fwd_vjp(xw, mask_bh, wh, interpret):
-    return _fwd(xw, mask_bh, wh, interpret)
+def _fwd_vjp(xw, mask_bh, wh, interpret, tiles):
+    return _fwd(xw, mask_bh, wh, interpret, tiles)
 
 
-def _bwd_vjp(interpret, res, dhs):
+def _bwd_vjp(interpret, tiles, res, dhs):
     xw_tm, m_tm, wh, hs_tm, cs_tm = res
     T, B, H4 = xw_tm.shape
     H = H4 // 4
+    # Streams: xw (4) + mask (1) + hprev (1) + cprev (1) + dhs (1) + dxw out
+    # (4); carries: dh, dc; resident: wh (bf16) + dwh out (f32) + dwh scratch
+    # (f32).
+    bt, u = tiles[2:] if tiles else pick_cell_tiles(B, T, H, 12, 2, H * H4 * 10)
     zrow = jnp.zeros((1, B, H), jnp.float32)
     hprev_tm = jnp.concatenate([zrow, hs_tm[:-1]], axis=0)
     cprev_tm = jnp.concatenate([zrow, cs_tm[:-1]], axis=0)
     dhs_tm = jnp.swapaxes(dhs.astype(jnp.float32), 0, 1)
-    u = _UNROLL if T % _UNROLL == 0 else 1
     nblk = T // u
-    rev = lambda t: (nblk - 1 - t, 0, 0)  # noqa: E731 — reverse-time index map
+    rev = lambda b, t: (nblk - 1 - t, b, 0)  # noqa: E731 — reverse-time index map
     dxw_tm, dwh = pl.pallas_call(
         _bwd_kernel,
-        grid=(nblk,),
+        grid=(B // bt, nblk),
         in_specs=[
-            pl.BlockSpec((u, B, H4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), rev, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((u, B, H4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
             jax.ShapeDtypeStruct((H, H4), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((bt, H), jnp.float32),
+            pltpu.VMEM((bt, H), jnp.float32),
             pltpu.VMEM((H, H4), jnp.float32),
         ],
+        compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
     )(xw_tm, m_tm, wh.astype(jnp.bfloat16), hprev_tm, cprev_tm, dhs_tm)
     # Mask is 0/1 data from the batch, never a differentiable parameter.

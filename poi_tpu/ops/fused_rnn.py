@@ -7,10 +7,12 @@ recurrence (models/strnn.py), leaving the serial chain
     h_t = tanh( xin_t + C @ h_{t-1} )
 
 — exactly the shape the fused GRU/LSTM kernels accelerate. Same design:
-forward and BPTT backward each run the whole T loop as ONE kernel, carry in
-VMEM scratch, the tanh pre-activation recomputed flash-style in backward from
-the stashed hidden-state stream. Masking follows ``ops/fused_lstm.py``: an
-explicit [B, T, H] float mask operand (lane-aligned blocks) selects
+forward and BPTT backward each run the whole T loop as ONE kernel over a
+(B/bt, T/u) grid, carry in VMEM scratch per batch tile, the tanh
+pre-activation recomputed flash-style in backward from the stashed
+hidden-state stream, tile sizes from ``ops/cell_pad.pick_cell_tiles``.
+Masking follows ``ops/fused_lstm.py``: an explicit [B, T, H] float mask
+operand (lane-aligned blocks) selects
 
     h_t = m·tanh(...) + (1-m)·h_{t-1}
 
@@ -27,12 +29,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Timesteps unrolled inside each grid step (see ops/fused_gru.py).
-_UNROLL = 8
+from poi_tpu.ops.cell_pad import CELL_VMEM_LIMIT, pick_cell_tiles
+
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("arbitrary", "arbitrary"),  # both grid dims carry scratch state
+    vmem_limit_bytes=CELL_VMEM_LIMIT,
+)
 
 
 def _fwd_kernel(xin_ref, m_ref, c_ref, hs_out, h_scr):
-    t = pl.program_id(0)
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
@@ -49,11 +55,15 @@ def _fwd_kernel(xin_ref, m_ref, c_ref, hs_out, h_scr):
 
 
 def _bwd_kernel(xin_ref, m_ref, c_ref, hprev_ref, dhs_ref, dxin_out, dc_out, dh_scr, dc_scr):
-    t = pl.program_id(0)  # walks T-1 .. 0 via reversed index maps
+    b = pl.program_id(0)
+    t = pl.program_id(1)  # walks T-1 .. 0 via reversed index maps
 
     @pl.when(t == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
+
+    @pl.when((t == 0) & (b == 0))
+    def _():
         dc_scr[:] = jnp.zeros_like(dc_scr)
 
     dh = dh_scr[:]
@@ -67,7 +77,7 @@ def _bwd_kernel(xin_ref, m_ref, c_ref, hprev_ref, dhs_ref, dxin_out, dc_out, dh_
         dxin_out[u] = dpre
         dh = dh * (1.0 - m) + jax.lax.dot_general(
             dpre.astype(jnp.bfloat16), c_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),  # dpre @ C^T -> [B, H]
+            dimension_numbers=(((1,), (1,)), ((), ())),  # dpre @ C^T -> [bt, H]
             preferred_element_type=jnp.float32,
         )
         dc_acc = dc_acc + jax.lax.dot_general(
@@ -78,75 +88,81 @@ def _bwd_kernel(xin_ref, m_ref, c_ref, hprev_ref, dhs_ref, dxin_out, dc_out, dh_
     dh_scr[:] = dh
     dc_scr[:] = dc_acc
 
-    @pl.when(t == pl.num_programs(0) - 1)
+    @pl.when((t == pl.num_programs(1) - 1) & (b == pl.num_programs(0) - 1))
     def _():
         dc_out[:] = dc_scr[:]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_rnn_scan(xin, mask_bh, c, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_rnn_scan(xin, mask_bh, c, interpret: bool = False, tiles: tuple | None = None):
     """[B, T, H] pre-projected inputs (already include the bias), [B, T, H]
     float padding mask (1 = valid), [H, H] recurrent weights → [B, T, H]
-    hidden states. h0 = zeros. Padded steps emit the carried h."""
-    hs, _ = _fwd(xin, mask_bh, c, interpret)
+    hidden states. h0 = zeros. Padded steps emit the carried h. ``tiles``
+    overrides the auto-picked (bt_fwd, u_fwd, bt_bwd, u_bwd) — test hook."""
+    hs, _ = _fwd(xin, mask_bh, c, interpret, tiles)
     return hs
 
 
-def _fwd(xin, mask_bh, c, interpret):
+def _fwd(xin, mask_bh, c, interpret, tiles):
     B, T, H = xin.shape
-    u = _UNROLL if T % _UNROLL == 0 else 1
+    # Streams: xin (1) + mask (1) + hs out (1); carries: h; resident: C (bf16).
+    bt, u = tiles[:2] if tiles else pick_cell_tiles(B, T, H, 3, 1, H * H * 2)
     xin_tm = jnp.swapaxes(xin.astype(jnp.float32), 0, 1)
     m_tm = jnp.swapaxes(mask_bh.astype(jnp.float32), 0, 1)
     hs_tm = pl.pallas_call(
         _fwd_kernel,
-        grid=(T // u,),
+        grid=(B // bt, T // u),
         in_specs=[
-            pl.BlockSpec((u, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((u, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((u, bt, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32)],
+        compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
     )(xin_tm, m_tm, c.astype(jnp.bfloat16))
     return jnp.swapaxes(hs_tm, 0, 1), (xin_tm, m_tm, c, hs_tm)
 
 
-def _fwd_vjp(xin, mask_bh, c, interpret):
-    return _fwd(xin, mask_bh, c, interpret)
+def _fwd_vjp(xin, mask_bh, c, interpret, tiles):
+    return _fwd(xin, mask_bh, c, interpret, tiles)
 
 
-def _bwd_vjp(interpret, res, dhs):
+def _bwd_vjp(interpret, tiles, res, dhs):
     xin_tm, m_tm, c, hs_tm = res
     T, B, H = xin_tm.shape
+    # Streams: xin (1) + mask (1) + hprev (1) + dhs (1) + dxin out (1);
+    # carries: dh; resident: C (bf16) + dC out (f32) + dC scratch (f32).
+    bt, u = tiles[2:] if tiles else pick_cell_tiles(B, T, H, 5, 1, H * H * 10)
     hprev_tm = jnp.concatenate([jnp.zeros((1, B, H), jnp.float32), hs_tm[:-1]], axis=0)
     dhs_tm = jnp.swapaxes(dhs.astype(jnp.float32), 0, 1)
-    u = _UNROLL if T % _UNROLL == 0 else 1
     nblk = T // u
-    rev = lambda t: (nblk - 1 - t, 0, 0)  # noqa: E731 — reverse-time index map
+    rev = lambda b, t: (nblk - 1 - t, b, 0)  # noqa: E731 — reverse-time index map
     dxin_tm, dc = pl.pallas_call(
         _bwd_kernel,
-        grid=(nblk,),
+        grid=(B // bt, nblk),
         in_specs=[
-            pl.BlockSpec((u, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), rev, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((u, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, bt, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((H, H), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((bt, H), jnp.float32),
             pltpu.VMEM((H, H), jnp.float32),
         ],
+        compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
     )(xin_tm, m_tm, c.astype(jnp.bfloat16), hprev_tm, dhs_tm)
     # Mask is 0/1 data from the batch, never a differentiable parameter.
