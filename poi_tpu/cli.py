@@ -206,18 +206,26 @@ def _restore_for_inference(cfg):
 def run_recommend(cfg, input_path: str, k: int, exclude_visited: bool) -> int:
     import json
 
+    import jax
+
     from poi_tpu.eval.serve import Checkin, Recommender
 
-    raw = sys.stdin.read() if input_path == "-" else open(input_path).read()
-    histories = [
-        [Checkin(poi=int(c["poi"]), timestamp=float(c["timestamp"]),
-                 lat=c.get("lat"), lon=c.get("lon")) for c in hist]
-        for hist in json.loads(raw)
-    ]
+    # Restore first (initializes jax.distributed when configured) so
+    # process_count() is meaningful; in a multi-process launch only process 0
+    # reads the request and prints — the rest are compute shards.
     ds, trainer, state = _restore_for_inference(cfg)
+    histories = None
+    if jax.process_index() == 0:
+        raw = sys.stdin.read() if input_path == "-" else open(input_path).read()
+        histories = [
+            [Checkin(poi=int(c["poi"]), timestamp=float(c["timestamp"]),
+                     lat=c.get("lat"), lon=c.get("lon")) for c in hist]
+            for hist in json.loads(raw)
+        ]
     rec = Recommender(trainer.model, state.params, cfg, ds, mesh=trainer.mesh)
     out = rec.recommend(histories, k=k, exclude_visited=exclude_visited)
-    print(json.dumps(out.tolist()))
+    if out is not None:
+        print(json.dumps(out.tolist()))
     return 0
 
 

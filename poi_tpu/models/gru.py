@@ -45,11 +45,8 @@ def gru_layer(
 
     from poi_tpu.ops import fused_gru
 
-    use_pallas = cell_impl == "pallas" or (
-        cell_impl == "auto"
-        and jax.default_backend() == "tpu"
-        and fused_gru.gru_dims_supported(B, H)
-        and dtype == jnp.bfloat16  # the kernel's matmuls are bf16/f32-accum
+    use_pallas = base.use_fused_cell(
+        cell_impl, "gru", fused_gru.gru_dims_supported(B, H), dtype
     )
     if use_pallas:
         from poi_tpu.ops.cell_pad import pad_gate_blocks

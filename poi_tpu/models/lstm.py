@@ -47,11 +47,8 @@ def lstm_layer(
 
     from poi_tpu.ops import fused_lstm
 
-    use_pallas = cell_impl == "pallas" or (
-        cell_impl == "auto"
-        and jax.default_backend() == "tpu"
-        and fused_lstm.lstm_dims_supported(B, H)
-        and dtype == jnp.bfloat16  # the kernel's matmuls are bf16/f32-accum
+    use_pallas = base.use_fused_cell(
+        cell_impl, "lstm", fused_lstm.lstm_dims_supported(B, H), dtype
     )
     if use_pallas:
         from poi_tpu.ops.cell_pad import pad_gate_blocks, padded_hidden

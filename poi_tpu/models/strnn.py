@@ -91,11 +91,11 @@ class STRNNModel(base.SequenceModel):
 
         from poi_tpu.ops import fused_rnn
 
-        use_pallas = cfg.cell_impl == "pallas" or (
-            cfg.cell_impl == "auto"
-            and jax.default_backend() == "tpu"
-            and fused_rnn.rnn_dims_supported(B, cfg.hidden_dim)
-            and dtype == jnp.bfloat16  # the kernel's matmuls are bf16/f32-accum
+        use_pallas = base.use_fused_cell(
+            cfg.cell_impl,
+            "strnn",
+            fused_rnn.rnn_dims_supported(B, cfg.hidden_dim),
+            dtype,
         )
         if use_pallas:
             from poi_tpu.ops.cell_pad import pad_gate_blocks, padded_hidden

@@ -60,6 +60,12 @@ def pick_cell_tiles(
     u*bt the bigger matmul hides the recurrence latency better.
     """
     bts = sorted((b for b in range(8, B + 1, 8) if B % b == 0), reverse=True)
+    if not bts:
+        raise ValueError(
+            f"fused cell kernels require a batch size with a multiple-of-8 "
+            f"divisor (Mosaic f32 sublanes), got B={B}; use cell_impl='scan' "
+            f"or a batch size divisible by 8"
+        )
     best: tuple[int, int, int] | None = None
     for u in (8, 4, 2, 1):
         if u > max_unroll or T % u:

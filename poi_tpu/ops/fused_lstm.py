@@ -30,8 +30,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from poi_tpu.ops.cell_pad import CELL_VMEM_LIMIT, pick_cell_tiles
 
-_COMPILER_PARAMS = pltpu.CompilerParams(
-    dimension_semantics=("arbitrary", "arbitrary"),  # both grid dims carry scratch state
+# Forward: batch tiles are independent (the hidden-state scratch resets at
+# t == 0 of every batch tile), so the batch grid dim is 'parallel' — Mosaic
+# may pipeline/reorder batch tiles. Backward keeps ('arbitrary', 'arbitrary'):
+# the dwh accumulator is carried across batch tiles too.
+_FWD_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "arbitrary"),
+    vmem_limit_bytes=CELL_VMEM_LIMIT,
+)
+_BWD_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("arbitrary", "arbitrary"),
     vmem_limit_bytes=CELL_VMEM_LIMIT,
 )
 
@@ -163,7 +171,7 @@ def _fwd(xw, mask_bh, wh, interpret, tiles):
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32), pltpu.VMEM((bt, H), jnp.float32)],
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _FWD_COMPILER_PARAMS,
         interpret=interpret,
     )(xw_tm, m_tm, wh.astype(jnp.bfloat16))
     return jnp.swapaxes(hs_tm, 0, 1), (xw_tm, m_tm, wh, hs_tm, cs_tm)
@@ -211,7 +219,7 @@ def _bwd_vjp(interpret, tiles, res, dhs):
             pltpu.VMEM((bt, H), jnp.float32),
             pltpu.VMEM((H, H4), jnp.float32),
         ],
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _BWD_COMPILER_PARAMS,
         interpret=interpret,
     )(xw_tm, m_tm, wh.astype(jnp.bfloat16), hprev_tm, cprev_tm, dhs_tm)
     # Mask is 0/1 data from the batch, never a differentiable parameter.

@@ -31,8 +31,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from poi_tpu.ops.cell_pad import CELL_VMEM_LIMIT, pick_cell_tiles
 
-_COMPILER_PARAMS = pltpu.CompilerParams(
-    dimension_semantics=("arbitrary", "arbitrary"),  # both grid dims carry scratch state
+# Forward: batch tiles are independent (the hidden-state scratch resets at
+# t == 0 of every batch tile), so the batch grid dim is 'parallel' — Mosaic
+# may pipeline/reorder batch tiles. Backward keeps ('arbitrary', 'arbitrary'):
+# the dwh accumulator is carried across batch tiles too.
+_FWD_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "arbitrary"),
+    vmem_limit_bytes=CELL_VMEM_LIMIT,
+)
+_BWD_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("arbitrary", "arbitrary"),
     vmem_limit_bytes=CELL_VMEM_LIMIT,
 )
 
@@ -120,7 +128,7 @@ def _fwd(xin, mask_bh, c, interpret, tiles):
         out_specs=pl.BlockSpec((u, bt, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32)],
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _FWD_COMPILER_PARAMS,
         interpret=interpret,
     )(xin_tm, m_tm, c.astype(jnp.bfloat16))
     return jnp.swapaxes(hs_tm, 0, 1), (xin_tm, m_tm, c, hs_tm)
@@ -162,7 +170,7 @@ def _bwd_vjp(interpret, tiles, res, dhs):
             pltpu.VMEM((bt, H), jnp.float32),
             pltpu.VMEM((H, H), jnp.float32),
         ],
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _BWD_COMPILER_PARAMS,
         interpret=interpret,
     )(xin_tm, m_tm, c.astype(jnp.bfloat16), hprev_tm, dhs_tm)
     # Mask is 0/1 data from the batch, never a differentiable parameter.

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B, T = 256, 64
+T = 64
 
 
 def timed_chain(fn, args, n, trials=4):
@@ -49,7 +49,7 @@ def slope(fn, args, n_lo=3, n_hi=13):
     return (timed_chain(fn, args, n_hi) - timed_chain(fn, args, n_lo)) / (n_hi - n_lo)
 
 
-def bench_cell(kind: str, H: int):
+def bench_cell(kind: str, H: int, B: int):
     from poi_tpu.ops import fused_gru, fused_lstm, fused_rnn
 
     rng = np.random.default_rng(0)
@@ -122,13 +122,24 @@ def bench_cell(kind: str, H: int):
 
 
 def main() -> int:
-    print(f"{'cell':>5} {'H':>4} {'fwd fused':>10} {'fwd scan':>9} {'x':>5} "
-          f"{'f+b fused':>10} {'f+b scan':>9} {'x':>5}   (ms, B=256 T=64)")
+    # (B, H) points per cell: the H sweep runs on the GRU (bench workload +
+    # the attention tower's recurrent layer — configs #4/#5); LSTM/RNN get
+    # their preset shapes (#2/#3: B=64 H=128) plus the bench batch. Each
+    # point costs ~12 tunnel compiles, so the grid is the set of shapes a
+    # preset can actually select, not the cross product.
+    points = {
+        "gru": [(256, 128), (256, 256), (256, 512), (64, 256), (512, 512)],
+        "lstm": [(64, 128), (256, 128)],
+        "rnn": [(64, 128), (256, 128)],
+    }
+    print(f"{'cell':>5} {'B':>4} {'H':>4} {'fwd fused':>10} {'fwd scan':>9} {'x':>5} "
+          f"{'f+b fused':>10} {'f+b scan':>9} {'x':>5}   (ms, T=64)")
     for kind in ("gru", "lstm", "rnn"):
-        for H in (128, 256, 512):
-            r = bench_cell(kind, H)
+        for B, H in points[kind]:
+            r = bench_cell(kind, H, B)
             print(
-                f"{kind:>5} {H:>4} {r['fwd_fused_ms']:>10.3f} {r['fwd_scan_ms']:>9.3f} "
+                f"{kind:>5} {B:>4} {H:>4} "
+                f"{r['fwd_fused_ms']:>10.3f} {r['fwd_scan_ms']:>9.3f} "
                 f"{r['fwd_scan_ms'] / r['fwd_fused_ms']:>5.2f} "
                 f"{r['bwd_fused_ms']:>10.3f} {r['bwd_scan_ms']:>9.3f} "
                 f"{r['bwd_scan_ms'] / r['bwd_fused_ms']:>5.2f}",

@@ -132,3 +132,80 @@ def test_scaling_bench_harness_two_process(tmp_path):
     rows = json.loads(out.read_text())
     assert [r["processes"] for r in rows] == [1, 2]
     assert all(r["global_seqs_per_sec"] > 0 for r in rows)
+
+
+_SERVE_WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    )
+
+    from poi_tpu.configs.presets import get_config
+    from poi_tpu.data.dataset import load_dataset
+    from poi_tpu.eval.serve import Checkin, Recommender
+    from poi_tpu.models.base import DataDims
+    from poi_tpu.train.loop import Trainer
+
+    cfg = get_config("smoke").with_overrides(
+        {"mesh.model": "2", "eval.topk_impl": "pallas"}
+    )
+    ds = load_dataset(cfg.data)
+    trainer = Trainer(cfg, DataDims.from_dataset(ds))
+    state = trainer.init_state()
+    rec = Recommender(trainer.model, state.params, cfg, ds, mesh=trainer.mesh)
+
+    # Requests exist on process 0 only (the serving frontend).
+    histories = None
+    if pid == 0:
+        histories = [
+            [Checkin(poi=1, timestamp=1000.0), Checkin(poi=2, timestamp=5000.0)],
+            [Checkin(poi=3, timestamp=2000.0)],
+            [Checkin(poi=i, timestamp=500.0 * i) for i in range(4, 9)],
+        ]
+    out1 = rec.recommend(histories, k=5, exclude_visited=True)
+    out2 = rec.recommend(histories, k=5, exclude_visited=True)
+    if pid == 0:
+        assert out1.shape == (3, 5), out1.shape
+        assert (out1 >= 0).all() and (out1 < ds.num_pois).all()
+        assert (out1 == out2).all()
+        visited = {1, 2}
+        assert not (set(out1[0].tolist()) & visited)
+        print("RESULT " + json.dumps({"pid": pid, "ids": out1.tolist()}))
+    else:
+        assert out1 is None and out2 is None
+        print("RESULT " + json.dumps({"pid": pid, "ids": None}))
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_recommend(tmp_path):
+    """Multi-process serving (VERDICT r2 Weak #5): process 0 holds the request,
+    both processes shard the compute, process 0 gets the recommendations."""
+    port = "29761"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SERVE_WORKER, str(i), port],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=420)
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                results[i] = json.loads(line[len("RESULT "):])
+    assert set(results) == {0, 1}
+    assert results[0]["ids"] is not None and results[1]["ids"] is None
