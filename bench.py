@@ -36,16 +36,26 @@ PINNED_BASELINE_SEQS_PER_SEC = 9211.0  # best-of, measured 2026-08-20 (see BASEL
 
 def _step_flops(cfg, dims) -> float:
     """Analytic whole-step matmul FLOPs (fwd + bwd ≈ 3x fwd for matmuls):
-    tower input/recurrent projections + the full-softmax CE logits matmul.
-    Used for the MFU line when the compiled cost analysis is unavailable."""
+    tower input/recurrent projections (+ MHA for the attention model) + the
+    loss logits matmul (full catalog for CE, the sampled set for sampled
+    softmax). Used for the MFU line when compiled cost analysis is
+    unavailable."""
     b, t = cfg.train.batch_size, cfg.data.max_seq_len
     d, h = cfg.model.embed_dim, cfg.model.hidden_dim
     v = dims.num_pois_padded
-    gates = {"gru": 3, "lstm": 4, "strnn": 1, "attention": 1}.get(cfg.model.kind, 1)
+    gates = {"gru": 3, "lstm": 4, "strnn": 1, "attention": 3}.get(cfg.model.kind, 1)
     tower = 2 * b * t * (d + h) * gates * h * cfg.model.num_layers
+    if cfg.model.kind == "attention":  # qkvo projections + windowed scores/values
+        tower += 4 * 2 * b * t * h * h + 2 * 2 * b * t * cfg.model.attn_window * h
     proj = 2 * b * t * h * d if (h != d or not cfg.model.tie_output_embedding) else 0
-    ce = 2 * b * t * d * v
-    return 3.0 * (tower + proj + ce)
+    if cfg.loss.kind == "sampled_softmax":
+        cols = cfg.loss.num_sampled + 1
+    elif cfg.loss.kind == "bpr":
+        cols = cfg.loss.num_negatives + 1
+    else:
+        cols = v
+    loss = 2 * b * t * d * cols
+    return 3.0 * (tower + proj + loss)
 
 
 def _throughput(cfg, ds, steps=30, warmup=5, repeats=5, dims=None) -> float:

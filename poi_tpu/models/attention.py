@@ -53,7 +53,10 @@ class AttentionModel(base.SequenceModel):
     def tower(self, tower_params: dict, x: jax.Array, batch) -> jax.Array:
         cfg = self.cfg
         dtype = base.compute_dtype(cfg)
-        h = gru_layer(tower_params["gru"], x, batch.mask, dtype)
+        h = gru_layer(
+            tower_params["gru"], x, batch.mask, dtype,
+            remat=cfg.remat_cell, cell_impl=cfg.cell_impl,
+        )
         if self.sp_mha is not None:
             o = self.sp_mha(h, tower_params["mha"])
         else:

@@ -101,6 +101,11 @@ def use_fused_cell(cell_impl: str, kind: str, dims_ok: bool, dtype) -> bool:
                 kind,
             )
         return False
+    # "auto" policy is measured, not assumed: the fused kernels win or tie
+    # fwd+bwd at every preset (B, H) shape — 3.16x at the bench shape
+    # (gru B=256 H=128), 2.03x at config #5's batch-tiled B=512/H=512, worst
+    # case 0.98x (parity) at config #4's B=64/H=256. Table in BASELINE.md
+    # ("Fused recurrence kernels vs lax.scan", 2026-08-20).
     return (
         cell_impl == "auto"
         and jax.default_backend() == "tpu"

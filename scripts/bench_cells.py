@@ -45,7 +45,12 @@ def timed_chain(fn, args, n, trials=4):
     return best
 
 
-def slope(fn, args, n_lo=3, n_hi=13):
+def slope(fn, args, n_lo=100, n_hi=1100):
+    """Per-call seconds via slope-of-mins. The differential window must be
+    tens of ms: these cells run 0.02-2.5 ms/call and the tunnel's round-trip
+    jitter is several ms, so short chains (n~10) produce garbage (measured:
+    negative slopes). n is a static fori_loop trip count — compile time does
+    not grow with it."""
     return (timed_chain(fn, args, n_hi) - timed_chain(fn, args, n_lo)) / (n_hi - n_lo)
 
 

@@ -102,15 +102,43 @@ def main():
         l, g = jax.value_and_grad(f)(p)
         return l + sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(g)) * 1e-30
 
+    # Embedding sub-region: input lookup fwd+bwd alone (the bwd is the
+    # scatter-add of [B*T, D] rows into the table — a classic TPU cost trap).
+    def embed_fwdbwd(p, b):
+        def f(pp):
+            x = model_base.input_embeddings(pp["embed"], b, cfg.model, model.lookup)
+            return jnp.sum(x.astype(jnp.float32))
+        g = jax.grad(f)(p)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(g)) * 1e-30
+
+    # Optimizer sub-region: adam update + apply, on grads == params shapes.
+    opt_state0 = trainer.optimizer.init(params)
+
+    def opt_update(p, _b):
+        import optax as _optax
+
+        upd, _ = trainer.optimizer.update(p, opt_state0, p)
+        newp = _optax.apply_updates(p, upd)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(newp)) * 1e-30
+
+    # Metrics sub-region: the two global norms computed every step.
+    def norms(p, _b):
+        import optax as _optax
+
+        return (_optax.global_norm(p) + _optax.global_norm(p)) * 1e-30
+
     B, T = batch.poi_in.shape
     V, D = trainer.dims.num_pois_padded, cfg.model.embed_dim
     ce_gf = 2 * B * T * D * V / 1e9
     rows = [
+        ("embed lookup fwd+bwd", chained(embed_fwdbwd, params, dbatch)),
         ("tower fwd", chained(tower_fwd, params, dbatch)),
         ("tower fwd+bwd", chained(tower_fwdbwd, params, dbatch)),
         ("CE fwd (fixed q)", chained(ce_fwd, params, q0, dbatch.poi_tgt, dbatch.mask)),
         ("CE fwd+bwd (fixed q)", chained(ce_fwdbwd, params, q0, dbatch.poi_tgt, dbatch.mask)),
         ("full loss fwd+bwd", chained(full_fwdbwd, params, dbatch)),
+        ("optimizer update", chained(opt_update, params, dbatch)),
+        ("global norms x2", chained(norms, params, dbatch)),
     ]
     print(f"batch={B} T={T} V={V} D={D}  (CE fwd matmul {ce_gf:.0f} GF)")
     for tag, t in rows:
@@ -134,6 +162,27 @@ def main():
         best = max(best, steps * B / (time.perf_counter() - t0))
     loader.close()
     print(f"  full step          : {B/best*1e3:7.3f} ms  ({best:,.0f} seq/s)")
+
+    # The bench path: device-sampled batches, 10 steps per dispatch — the
+    # configuration BENCH_r*.json measures. Difference vs 'full loss fwd+bwd'
+    # = optimizer + norms + sampler gather + scan/dispatch overhead.
+    from poi_tpu.data.device_sampler import DeviceSampler
+
+    tr2 = Trainer(
+        cfg, model_base.DataDims.from_dataset(ds),
+        sampler=DeviceSampler(ds.train, cfg.train.batch_size, cfg.train.seed),
+    )
+    st2 = tr2.init_state()
+    st2, m2 = tr2.step_sampled(st2, 10)
+    float(m2["loss"][-1])
+    best2 = 0.0
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            st2, m2 = tr2.step_sampled(st2, 10)
+        float(m2["loss"][-1])
+        best2 = max(best2, 30 * B / (time.perf_counter() - t0))
+    print(f"  sampled 10-step    : {B/best2*1e3:7.3f} ms/step  ({best2:,.0f} seq/s)")
 
 
 if __name__ == "__main__":
