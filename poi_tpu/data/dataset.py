@@ -13,6 +13,7 @@ ready for device transfer (static shapes are mandatory under jit).
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -367,9 +368,45 @@ def _stack_examples(users_out, rows, masks, T) -> Examples:
     )
 
 
+def _cache_path(cfg: DataConfig) -> "pathlib.Path | None":
+    """Disk-cache location for a synthetic dataset build, or None when
+    caching is off. Key = the full DataConfig + a hash of the preprocessing
+    sources, so any change to the synthesizer/windowing auto-invalidates.
+    Real-file datasets (cfg.path set) are never cached: the file can change
+    under us and parse time is not the bottleneck."""
+    import hashlib
+    import os
+    import pathlib
+
+    cache_dir = os.environ.get("POI_TPU_DATA_CACHE", "/tmp/poi_tpu_datasets")
+    if cfg.path is not None or cache_dir.lower() in ("", "0", "off"):
+        return None
+    h = hashlib.sha256(repr(sorted(dataclasses.asdict(cfg).items())).encode())
+    for mod in ("dataset.py", "checkins.py"):
+        h.update(pathlib.Path(__file__).with_name(mod).read_bytes())
+    return pathlib.Path(cache_dir) / f"{h.hexdigest()[:24]}.pkl"
+
+
 def load_dataset(cfg: DataConfig) -> Dataset:
+    """Build (or load from the disk cache) the fully preprocessed dataset.
+
+    The synthetic corpora behind the named configs take minutes to window at
+    Gowalla scale; every script/CLI invocation was paying that again. The
+    pickle cache makes repeat invocations O(read) while staying exactly
+    bit-identical to a fresh build (the cache stores the built arrays)."""
+    import os
+    import pickle
+    import tempfile
+
     from poi_tpu.data.checkins import load_checkins
 
+    cpath = _cache_path(cfg)
+    if cpath is not None and cpath.exists():
+        try:
+            with open(cpath, "rb") as f:
+                return pickle.load(f)
+        except Exception:  # corrupt/partial file: rebuild below
+            pass
     table = load_checkins(
         cfg.dataset,
         cfg.path,
@@ -378,4 +415,12 @@ def load_dataset(cfg: DataConfig) -> Dataset:
         mean_checkins_per_user=cfg.mean_checkins_per_user,
         seed=cfg.seed,
     )
-    return build_dataset(table, cfg)
+    ds = build_dataset(table, cfg)
+    if cpath is not None:
+        cpath.parent.mkdir(parents=True, exist_ok=True)
+        # Atomic publish so concurrent builders never read a partial pickle.
+        fd, tmp = tempfile.mkstemp(dir=cpath.parent, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(ds, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, cpath)
+    return ds

@@ -20,6 +20,17 @@ class TrainState(NamedTuple):
 
 def lr_schedule(cfg: TrainConfig):
     """The LR schedule as a callable(step) — also used for logging."""
+    if cfg.lr_schedule == "cosine":
+        warmup = max(min(cfg.warmup_steps, cfg.num_steps // 2), 1)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=warmup,
+            decay_steps=cfg.num_steps,
+            end_value=cfg.lr_min_frac * cfg.learning_rate,
+        )
+    if cfg.lr_schedule != "constant":
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
     if cfg.warmup_steps > 0:
         return optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
     return lambda step: jnp.asarray(cfg.learning_rate, jnp.float32)

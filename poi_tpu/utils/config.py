@@ -91,6 +91,13 @@ class TrainConfig:
     learning_rate: float = 1e-3
     weight_decay: float = 0.0
     warmup_steps: int = 100
+    # LR schedule after warmup: "constant" holds learning_rate; "cosine"
+    # decays to lr_min_frac * learning_rate by num_steps. Cosine is the
+    # overfit guard for full-budget runs on small check-in corpora: the
+    # config-#4 probes showed constant-LR runs peak early and decay back to
+    # the popularity floor by the end of the budget.
+    lr_schedule: str = "constant"  # constant | cosine
+    lr_min_frac: float = 0.0
     grad_clip_norm: float = 1.0
     optimizer: str = "adam"  # adam | adagrad | sgd
     seed: int = 0

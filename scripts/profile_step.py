@@ -12,8 +12,11 @@ value depends on all the work.
 
 from __future__ import annotations
 
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -127,10 +130,19 @@ def main():
 
         return (_optax.global_norm(p) + _optax.global_norm(p)) * 1e-30
 
+    # Null body: the chained-harness fixed cost per iteration (params
+    # perturbation tree-map + fori_loop dispatch). Every region row carries
+    # this; subtract it so rows attribute device time, not harness time.
+    def null_body(p, _b):
+        return jnp.float32(0) * sum(
+            jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(p)
+        )
+
     B, T = batch.poi_in.shape
     V, D = trainer.dims.num_pois_padded, cfg.model.embed_dim
     ce_gf = 2 * B * T * D * V / 1e9
-    rows = [
+    t_null = chained(null_body, params, dbatch)
+    raw = [
         ("embed lookup fwd+bwd", chained(embed_fwdbwd, params, dbatch)),
         ("tower fwd", chained(tower_fwd, params, dbatch)),
         ("tower fwd+bwd", chained(tower_fwdbwd, params, dbatch)),
@@ -140,11 +152,13 @@ def main():
         ("optimizer update", chained(opt_update, params, dbatch)),
         ("global norms x2", chained(norms, params, dbatch)),
     ]
+    rows = [(tag, max(t - t_null, 0.0)) for tag, t in raw]
     print(f"batch={B} T={T} V={V} D={D}  (CE fwd matmul {ce_gf:.0f} GF)")
+    print(f"  harness null body       : {t_null*1e3:7.3f} ms (subtracted from rows)")
     for tag, t in rows:
         print(f"  {tag:24s}: {t*1e3:7.3f} ms")
-    t_ce_f = rows[2][1]
-    t_ce_fb = rows[3][1]
+    t_ce_f = dict(rows)["CE fwd (fixed q)"]
+    t_ce_fb = dict(rows)["CE fwd+bwd (fixed q)"]
     print(f"  CE fwd eff : {ce_gf/1e3/t_ce_f:6.1f} TF/s (1 catalog matmul)")
     print(f"  CE bwd eff : {3*ce_gf/1e3/(t_ce_fb-t_ce_f):6.1f} TF/s (2 recompute + 2 grad matmuls ~ 3x fwd work)")
 

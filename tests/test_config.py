@@ -51,3 +51,29 @@ def test_bad_override_raises():
     cfg = get_config("smoke")
     with pytest.raises(KeyError):
         cfg.with_overrides({"train.nope": "1"})
+
+
+def test_lr_schedule_cosine():
+    from poi_tpu.train.state import lr_schedule
+
+    cfg = get_config("smoke").with_overrides(
+        {
+            "train.lr_schedule": "cosine",
+            "train.num_steps": "100",
+            "train.warmup_steps": "10",
+            "train.learning_rate": "1e-3",
+        }
+    )
+    s = lr_schedule(cfg.train)
+    assert float(s(0)) == 0.0  # warmup starts at zero
+    assert abs(float(s(10)) - 1e-3) < 1e-9  # peak at end of warmup
+    assert 0.0 < float(s(50)) < 1e-3  # decaying
+    assert float(s(100)) <= 1e-6  # decayed to lr_min_frac * lr == 0
+
+
+def test_lr_schedule_unknown_raises():
+    from poi_tpu.train.state import lr_schedule
+
+    cfg = get_config("smoke").with_overrides({"train.lr_schedule": "nope"})
+    with pytest.raises(ValueError):
+        lr_schedule(cfg.train)

@@ -197,3 +197,26 @@ def test_grain_loader_seek_and_state_resume(small_ds):
 def test_make_train_loader_rejects_unknown_backend(small_ds):
     with pytest.raises(ValueError, match="loader backend"):
         pipeline.make_train_loader(small_ds.train, batch_size=8, backend="spark")
+
+
+def test_dataset_disk_cache_roundtrip(monkeypatch, tmp_path):
+    """load_dataset's pickle cache returns a bit-identical Dataset."""
+    import numpy as np
+
+    from poi_tpu.configs.presets import get_config
+    from poi_tpu.data.dataset import _cache_path, load_dataset
+
+    monkeypatch.setenv("POI_TPU_DATA_CACHE", str(tmp_path))
+    cfg = get_config("smoke").data
+    assert _cache_path(cfg) is not None
+    fresh = load_dataset(cfg)  # builds + writes
+    assert _cache_path(cfg).exists()
+    cached = load_dataset(cfg)  # reads
+    np.testing.assert_array_equal(fresh.train.poi_in, cached.train.poi_in)
+    np.testing.assert_array_equal(fresh.test.target, cached.test.target)
+    np.testing.assert_array_equal(fresh.poi_counts, cached.poi_counts)
+    assert fresh.num_pois == cached.num_pois
+
+    # Cache off -> no path; real-file datasets -> never cached.
+    monkeypatch.setenv("POI_TPU_DATA_CACHE", "off")
+    assert _cache_path(cfg) is None
