@@ -143,11 +143,25 @@ def run_train(
         ldr = trainer.active_loader
         return ldr.state_at(step) if ldr is not None else None
 
+    # With a validation split (data.val_fraction > 0), periodic eval runs on
+    # val and the best-on-val params are selected for the final test eval
+    # (train/selection.py); without one, periodic eval runs on test directly
+    # (the reference family's protocol).
+    tracker = None
+    if ds.val is not None:
+        from poi_tpu.train.selection import BestOnVal
+
+        tracker = BestOnVal(trainer, ds, cfg)
+
     def callback(step, st, m):
         pw.step(step)
         if ckpt is not None and step % cfg.train.checkpoint_every == 0:
             ckpt.save(step, st, loader_state=_loader_state_at(step), config_json=cfg.to_json())
-        if step % cfg.train.eval_every == 0:
+        if tracker is not None:
+            tracker(step, st, m)
+            if tracker.history and tracker.history[-1]["step"] == step:
+                metrics.write(step, {f"val/{k}": v for k, v in tracker.history[-1].items() if k != "step"})
+        elif step % cfg.train.eval_every == 0:
             em = evaluate(trainer.model, st.params, ds, cfg, mesh=trainer.mesh)
             metrics.write(step, {f"eval/{k}": v for k, v in em.items()})
 
@@ -166,7 +180,14 @@ def run_train(
     for row in history:
         metrics.write(row["step"], {k: v for k, v in row.items() if k != "step"})
 
-    final = evaluate(trainer.model, state.params, ds, cfg, mesh=trainer.mesh)
+    eval_params = state.params
+    if tracker is not None and tracker.best_step >= 0:
+        eval_params = tracker.best_params(state.params)
+        log.info(
+            "selected best-on-val params from step %d (val %s=%.4f)",
+            tracker.best_step, tracker.metric, tracker.best_score,
+        )
+    final = evaluate(trainer.model, eval_params, ds, cfg, mesh=trainer.mesh)
     pop = popularity_baseline(ds, cfg.eval.recall_ks)
     metrics.write(int(state.step), {f"final/{k}": v for k, v in final.items()})
     log.info("final eval: %s", final)

@@ -78,6 +78,9 @@ class Dataset:
     train: Examples
     test: Examples
     poi_counts: np.ndarray  # [num_pois] train-split popularity (for baselines/sampling)
+    # Validation split for model selection (cfg.val_fraction > 0): the
+    # temporal tail of each user's train region. None when not requested.
+    val: Examples = field(default=None)
     tgap_edges: np.ndarray = field(default=None)  # quantile bucket edges (seconds)
     dist_edges: np.ndarray = field(default=None)  # quantile bucket edges (km)
     # Featurizer parameters needed to embed NEW histories at serving time
@@ -157,6 +160,20 @@ def build_dataset(table: CheckinTable, cfg: DataConfig, use_native: bool = True)
     pos_in_user = np.arange(len(user)) - np.repeat(starts, lengths)
     is_test = pos_in_user >= np.repeat(lengths - n_test, lengths)
 
+    # Optional validation split for model selection (cfg.val_fraction > 0):
+    # carved from the temporal TAIL of each user's train region, so the test
+    # set is bit-identical to the val_fraction=0 split (rows keep historical
+    # comparability) and val strictly precedes test in time (no leakage).
+    is_val = np.zeros_like(is_test)
+    if cfg.val_fraction > 0.0:
+        train_len = lengths - n_test
+        n_val = np.minimum(
+            np.maximum(1, (train_len * cfg.val_fraction).astype(int)), train_len - 1
+        )
+        is_val = (~is_test) & (
+            pos_in_user >= np.repeat(train_len - n_val, lengths)
+        )
+
     feats = dict(
         poi=poi.astype(np.int32),
         time_bucket=time_bucket,
@@ -167,10 +184,14 @@ def build_dataset(table: CheckinTable, cfg: DataConfig, use_native: bool = True)
         dist_frac=dist_frac.astype(np.float32),
     )
 
-    train_ex = _build_train(user, feats, ~is_test, starts, lengths, cfg.max_seq_len, use_native)
+    train_keep = ~is_test & ~is_val
+    train_ex = _build_train(user, feats, train_keep, starts, lengths, cfg.max_seq_len, use_native)
     test_ex = _build_eval(user, feats, is_test, starts, lengths, cfg.max_seq_len, use_native)
+    val_ex = None
+    if cfg.val_fraction > 0.0:
+        val_ex = _build_eval(user, feats, is_val, starts, lengths, cfg.max_seq_len, use_native)
 
-    poi_counts = np.bincount(poi[~is_test], minlength=num_pois).astype(np.int64)
+    poi_counts = np.bincount(poi[train_keep], minlength=num_pois).astype(np.int64)
 
     return Dataset(
         num_users=num_users,
@@ -181,6 +202,7 @@ def build_dataset(table: CheckinTable, cfg: DataConfig, use_native: bool = True)
         num_dist_buckets=cfg.dist_buckets,
         train=train_ex,
         test=test_ex,
+        val=val_ex,
         poi_counts=poi_counts,
         tgap_edges=tgap_edges,
         dist_edges=dist_edges,

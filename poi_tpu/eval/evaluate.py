@@ -214,7 +214,9 @@ def _local_batch_rows(sharding, batch_size: int) -> np.ndarray:
     return np.asarray(sorted(rows), dtype=np.int64)
 
 
-def evaluate(model, params: dict, dataset: Dataset, cfg: Config, mesh=None) -> dict[str, float]:
+def evaluate(
+    model, params: dict, dataset: Dataset, cfg: Config, mesh=None, split: str = "test"
+) -> dict[str, float]:
     ks = cfg.eval.recall_ks
     k = max(ks)
     sharded = _is_sharded(mesh)
@@ -222,7 +224,11 @@ def evaluate(model, params: dict, dataset: Dataset, cfg: Config, mesh=None) -> d
     prep = prepare_catalog(params, cfg, dataset.poi_counts, mesh if sharded else None)
     topk_fn = make_topk_fn(model, cfg, k, mesh=mesh if sharded else None, tile_v=prep.tile_v)
 
-    test = dataset.test
+    test = getattr(dataset, split)
+    if test is None:
+        raise ValueError(
+            f"dataset has no {split!r} split (set data.val_fraction > 0 for val)"
+        )
     if cfg.eval.max_eval_users and len(test) > cfg.eval.max_eval_users:
         test = test.take(np.arange(cfg.eval.max_eval_users))
 

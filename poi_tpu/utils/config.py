@@ -30,6 +30,10 @@ class DataConfig:
     min_poi_checkins: int = 5
     # Sequence shaping.
     max_seq_len: int = 64  # timesteps per training window (T); targets are shifted
+    # Validation split for model selection: fraction of each user's TRAIN
+    # region (its temporal tail) held out as Dataset.val. 0 = no val split.
+    # The test split is bit-identical either way (val comes out of train).
+    val_fraction: float = 0.0
     # Feature discretization.
     time_buckets: int = 168  # hour-of-week buckets for the time embedding
     geo_grid: int = 64  # geo embedding = (lat, lon) quantized on a geo_grid² grid

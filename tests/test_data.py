@@ -220,3 +220,31 @@ def test_dataset_disk_cache_roundtrip(monkeypatch, tmp_path):
     # Cache off -> no path; real-file datasets -> never cached.
     monkeypatch.setenv("POI_TPU_DATA_CACHE", "off")
     assert _cache_path(cfg) is None
+
+
+def test_val_split_preserves_test_and_is_disjoint():
+    """data.val_fraction > 0: test split is bit-identical to the no-val
+    build; val comes out of the train region (train shrinks, no overlap)."""
+    import numpy as np
+
+    from poi_tpu.configs.presets import get_config
+    from poi_tpu.data.checkins import load_checkins
+    from poi_tpu.data.dataset import build_dataset
+
+    base = get_config("smoke").data
+    table = load_checkins(
+        base.dataset, base.path, num_users=base.num_users, num_pois=base.num_pois,
+        mean_checkins_per_user=base.mean_checkins_per_user, seed=base.seed,
+    )
+    ds0 = build_dataset(table, base)
+    dsv = build_dataset(table, base.__class__(**{**base.__dict__, "val_fraction": 0.2}))
+
+    assert ds0.val is None and dsv.val is not None and len(dsv.val) > 0
+    # Test split unchanged.
+    np.testing.assert_array_equal(ds0.test.poi_in, dsv.test.poi_in)
+    np.testing.assert_array_equal(ds0.test.target, dsv.test.target)
+    # Train shrank (val carved out of it) and popularity counts follow.
+    assert len(dsv.train) <= len(ds0.train)
+    assert dsv.poi_counts.sum() < ds0.poi_counts.sum()
+    # Eval protocol shape holds for val examples.
+    assert dsv.val.mask.sum(axis=1).max() == 1  # one scored position each
