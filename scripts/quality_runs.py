@@ -15,11 +15,15 @@ e.g.  python scripts/quality_runs.py lstm_bpr_foursquare
 
 from __future__ import annotations
 
+import logging
 import pathlib
 import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+logging.getLogger("absl").setLevel(logging.WARNING)
 
 
 def main() -> int:
