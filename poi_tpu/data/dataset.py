@@ -49,7 +49,9 @@ class Examples:
     user: np.ndarray  # [N] int32
     poi_in: np.ndarray  # [N, T] int32
     poi_tgt: np.ndarray  # [N, T] int32 (0 where masked)
-    mask: np.ndarray  # [N, T] bool — True at positions with a valid target
+    mask: np.ndarray  # [N, T] bool — validity prefix: True at valid input
+    #   positions. Train: every valid position has a target. Eval: only the
+    #   LAST valid position (sum(mask)-1) is scored; its target is in ``target``.
     time_bucket: np.ndarray  # [N, T] int32 hour-of-week of the input check-in
     geo_bucket: np.ndarray  # [N, T] int32 grid cell of the input check-in
     tgap_idx: np.ndarray  # [N, T] int32 lower time-gap bucket (ST-RNN)
@@ -336,8 +338,15 @@ def _eval_examples(user, feats, is_test, starts, lengths, T) -> Examples:
             if n_in == 0:
                 continue
             users_out.append(user[s])
+            # Validity-prefix mask: the recurrent cells freeze their carry at
+            # mask == 0, so a one-hot "scored position" mask would zero the
+            # entire context out of the recurrence (measured: eval queries
+            # collapsed to the position-0 state — the fused cells, whose
+            # masked steps emit the carry exactly, scored at the popularity
+            # floor). The scored position is recovered as sum(mask) - 1 ==
+            # n_in - 1 (eval/evaluate.py last_valid_queries).
             m = np.zeros(T, bool)
-            m[n_in - 1] = True  # only the final position is scored
+            m[:n_in] = True
             masks.append(m)
             for k in feats:
                 rows[k].append(_pad(feats[k][ctx], T))

@@ -74,7 +74,9 @@ class Recommender:
                     plon = prev.lon if prev.lon is not None else float(ds.poi_latlon[prev.poi, 1])
                     tgap[b, t] = c.timestamp - prev.timestamp
                     dist[b, t] = float(haversine_km(plat, plon, lat, lon))
-            mask[b, n - 1] = 1.0  # score at the final position
+            # Validity-prefix mask (the cells freeze their carry at mask==0);
+            # the scored position is sum(mask)-1 == n-1 (last_valid_queries).
+            mask[b, :n] = 1.0
 
         ti, tf = bucketize_interp(tgap, ds.tgap_edges)
         di, df = bucketize_interp(dist, ds.dist_edges)

@@ -136,7 +136,11 @@ int64_t build_eval_examples(
         const int64_t src = ctx0 + t;
         out_poi_in[base + t] = poi[src];
         out_poi_tgt[base + t] = 0;
-        out_mask[base + t] = 0;
+        // Validity-prefix mask: the recurrent cells freeze their carry at
+        // mask == 0, so a one-hot "scored position" mask would zero out the
+        // entire context. The scored position is recovered as
+        // sum(mask) - 1 == n_in - 1 (eval/evaluate.py last_valid_queries).
+        out_mask[base + t] = 1;
         out_timeb[base + t] = timeb[src];
         out_geob[base + t] = geob[src];
         out_tgapi[base + t] = tgapi[src];
@@ -155,7 +159,6 @@ int64_t build_eval_examples(
         out_tgapf[base + t] = 0.f;
         out_distf[base + t] = 0.f;
       }
-      out_mask[base + n_in - 1] = 1;
       out_poi_tgt[base + n_in - 1] = poi[p];
       out_target[row] = poi[p];
       ++row;

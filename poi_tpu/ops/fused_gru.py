@@ -110,16 +110,27 @@ def _bwd_kernel(xw_ref, wh_ref, hprev_ref, dhs_ref, dxw_out, dwh_out, dh_scr, dw
         dxw = jnp.concatenate([da, dr_pre, dn], axis=1)     # [bt, 3H]
         dhw = jnp.concatenate([da, dr_pre, dhn], axis=1)    # [bt, 3H]
         dxw_out[u] = dxw
+        # Cotangent matmuls run in f32 (wh upcast from its bf16 block — the
+        # values are exactly representable). Casting the f32 cotangent down
+        # to bf16 here is what XLA's scan autodiff does NOT do, and the
+        # ~0.4%/step rounding compounds through the T-step backward chain
+        # into the embedding gradients: measured on config #2 (2k steps,
+        # 2 seeds), the bf16-cotangent kernel trains to r@10 0.10-0.13 where
+        # the scan cell reaches 0.22 — loss converges identically, ranking
+        # signal drowns. f32 cotangents restore scan-equivalent precision.
+        wh_f32 = wh_ref[:].astype(jnp.float32)
         # dh_prev = passthrough + via recurrent projection
         dh = dh * (1.0 - z) + jax.lax.dot_general(
-            dhw.astype(jnp.bfloat16), wh_ref[:],
+            dhw, wh_f32,
             dimension_numbers=(((1,), (1,)), ((), ())),  # dhw @ wh^T -> [bt, H]
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         dwh_acc = dwh_acc + jax.lax.dot_general(
-            h_prev.astype(jnp.bfloat16), dhw.astype(jnp.bfloat16),
+            h_prev, dhw,
             dimension_numbers=(((0,), (0,)), ((), ())),  # h_prev^T @ dhw -> [H, 3H]
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     dh_scr[:] = dh
     dwh_scr[:] = dwh_acc

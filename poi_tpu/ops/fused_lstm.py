@@ -113,16 +113,23 @@ def _bwd_kernel(
         # LSTM gate pre-activations see xw + h_prev·wh symmetrically, so the
         # h-side cotangent equals dxw (unlike the GRU, where the n-gate's
         # h path is scaled by r).
+        # Cotangent matmuls in f32 (wh upcast from bf16 — exactly
+        # representable): bf16-rounding the cotangent each of T backward
+        # steps compounds into the embedding grads and measurably destroys
+        # ranking quality (see ops/fused_gru.py for the measured numbers).
+        wh_f32 = wh_ref[:].astype(jnp.float32)
         dh = dh * (1.0 - m) + jax.lax.dot_general(
-            dxw.astype(jnp.bfloat16), wh_ref[:],
+            dxw, wh_f32,
             dimension_numbers=(((1,), (1,)), ((), ())),  # dxw @ wh^T -> [bt, H]
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         dc = dc * (1.0 - m) + dc_raw * f
         dwh_acc = dwh_acc + jax.lax.dot_general(
-            h_prev.astype(jnp.bfloat16), dxw.astype(jnp.bfloat16),
+            h_prev, dxw,
             dimension_numbers=(((0,), (0,)), ((), ())),  # h_prev^T @ dxw -> [H, 4H]
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     dh_scr[:] = dh
     dc_scr[:] = dc

@@ -83,15 +83,22 @@ def _bwd_kernel(xin_ref, m_ref, c_ref, hprev_ref, dhs_ref, dxin_out, dc_out, dh_
         dh = dh + dhs_ref[u]
         dpre = dh * m * (1.0 - h_raw * h_raw)
         dxin_out[u] = dpre
+        # Cotangent matmuls in f32 (C upcast from bf16 — exactly
+        # representable): bf16-rounding the cotangent each backward step
+        # compounds through the chain into the embedding grads and measurably
+        # destroys ranking quality (see ops/fused_gru.py).
+        c_f32 = c_ref[:].astype(jnp.float32)
         dh = dh * (1.0 - m) + jax.lax.dot_general(
-            dpre.astype(jnp.bfloat16), c_ref[:],
+            dpre, c_f32,
             dimension_numbers=(((1,), (1,)), ((), ())),  # dpre @ C^T -> [bt, H]
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         dc_acc = dc_acc + jax.lax.dot_general(
-            h_prev.astype(jnp.bfloat16), dpre.astype(jnp.bfloat16),
+            h_prev, dpre,
             dimension_numbers=(((0,), (0,)), ((), ())),  # h_prev^T @ dpre -> [H, H]
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     dh_scr[:] = dh
     dc_scr[:] = dc_acc

@@ -11,6 +11,7 @@ plug in through the model's ``lookup`` and the loss builder.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -30,6 +31,11 @@ from poi_tpu.train.state import TrainState, init_state, make_optimizer
 from poi_tpu.utils.config import Config
 
 log = logging.getLogger(__name__)
+
+# Debug escape hatch: POI_TPU_NO_DONATE=1 disables train-step buffer donation
+# (donate_argnums). Used to isolate donation/aliasing interactions with the
+# Pallas custom calls on remote backends.
+_DONATE = os.environ.get("POI_TPU_NO_DONATE", "0") != "1"
 
 
 class FaultInjected(RuntimeError):
@@ -184,7 +190,7 @@ class Trainer:
                 step_fn,
                 in_shardings=(st_shard, b_shard),
                 out_shardings=(st_shard, m_shard),
-                donate_argnums=(0,),
+                donate_argnums=(0,) if _DONATE else (),
             )
 
         def chunk_fn(state: TrainState, batches: Batch):
@@ -205,7 +211,7 @@ class Trainer:
             chunk_fn,
             in_shardings=(st_shard, bs_stacked),
             out_shardings=(st_shard, ms_stacked),
-            donate_argnums=(0,),
+            donate_argnums=(0,) if _DONATE else (),
         )
 
     def _put_batch(self, batch: Batch, stacked: bool = False):
@@ -252,7 +258,7 @@ class Trainer:
             chunk_fn,
             in_shardings=(st_shard,),
             out_shardings=(st_shard, ms),
-            donate_argnums=(0,),
+            donate_argnums=(0,) if _DONATE else (),
         )
 
     def step_sampled(self, state: TrainState, num_steps: int):

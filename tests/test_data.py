@@ -64,11 +64,22 @@ def test_next_poi_alignment(small_ds):
 def test_eval_targets(small_ds):
     ex = small_ds.test
     assert ex.target.shape == (len(ex),)
-    # exactly one scored position per eval example, and it holds the target
-    assert (ex.mask.sum(1) == 1).all()
+    # Mask is a validity PREFIX over the context (the recurrent cells freeze
+    # their carry at mask == 0 — a one-hot mask would erase the context from
+    # the recurrence); the scored position is the last valid one and holds
+    # the target.
+    lengths = ex.mask.sum(1)
+    assert (lengths >= 1).all()
+    for i in range(min(len(ex), 50)):
+        L = int(lengths[i])
+        assert ex.mask[i, :L].all() and not ex.mask[i, L:].any()
     rows = np.arange(len(ex))
-    last = ex.mask.argmax(1)
+    last = lengths.astype(int) - 1
     assert np.array_equal(ex.poi_tgt[rows, last], ex.target)
+    # interior positions carry no target (only the final one is scored)
+    interior = ex.poi_tgt.copy()
+    interior[rows, last] = 0
+    assert (interior == 0).all()
 
 
 def test_bucketize_interp_roundtrip():
@@ -247,4 +258,5 @@ def test_val_split_preserves_test_and_is_disjoint():
     assert len(dsv.train) <= len(ds0.train)
     assert dsv.poi_counts.sum() < ds0.poi_counts.sum()
     # Eval protocol shape holds for val examples.
-    assert dsv.val.mask.sum(axis=1).max() == 1  # one scored position each
+    lengths = dsv.val.mask.sum(axis=1)
+    assert (lengths >= 1).all()  # prefix-mask contexts, scored at sum(mask)-1
