@@ -193,9 +193,21 @@ def run_train(
     log.info("final eval: %s", final)
     log.info("popularity baseline: %s", pop)
     if ckpt is not None:
-        if ckpt.latest_step() != int(state.step):  # callback may have saved this step already
+        # The final checkpoint must persist the params the final eval was
+        # reported on: with best-on-val selection that is the SELECTED params,
+        # not the live end-of-run (typically past-the-val-peak) state. Training
+        # is complete, so a later `eval`/`recommend` of this directory — the
+        # only consumers — now matches the reported metrics exactly.
+        final_state = state
+        selected = tracker is not None and tracker.best_step >= 0
+        if selected:
+            final_state = state._replace(params=eval_params)
+        if ckpt.latest_step() == int(state.step) and selected:
+            ckpt.wait()  # the periodic callback already saved this step
+            ckpt.delete(int(state.step))
+        if ckpt.latest_step() != int(state.step):
             ckpt.save(
-                int(state.step), state,
+                int(state.step), final_state,
                 loader_state=_loader_state_at(int(state.step)), config_json=cfg.to_json(),
             )
         ckpt.wait()

@@ -401,21 +401,46 @@ def _stack_examples(users_out, rows, masks, T) -> Examples:
 
 def _cache_path(cfg: DataConfig) -> "pathlib.Path | None":
     """Disk-cache location for a synthetic dataset build, or None when
-    caching is off. Key = the full DataConfig + a hash of the preprocessing
-    sources, so any change to the synthesizer/windowing auto-invalidates.
+    caching is off. Key = the full DataConfig + a hash of EVERY preprocessing
+    source that shapes the built arrays — including the C++ windowing fast
+    path (native/preprocess.cc + its FFI wrapper), so a .cc-only semantic
+    change invalidates the cache just like a .py change would.
     Real-file datasets (cfg.path set) are never cached: the file can change
     under us and parse time is not the bottleneck."""
     import hashlib
     import os
     import pathlib
 
-    cache_dir = os.environ.get("POI_TPU_DATA_CACHE", "/tmp/poi_tpu_datasets")
+    cache_dir = os.environ.get(
+        "POI_TPU_DATA_CACHE", f"/tmp/poi_tpu_datasets_{os.getuid()}"
+    )
     if cfg.path is not None or cache_dir.lower() in ("", "0", "off"):
         return None
     h = hashlib.sha256(repr(sorted(dataclasses.asdict(cfg).items())).encode())
-    for mod in ("dataset.py", "checkins.py"):
-        h.update(pathlib.Path(__file__).with_name(mod).read_bytes())
+    pkg = pathlib.Path(__file__).resolve().parents[1]
+    for src in (
+        pkg / "data" / "dataset.py",
+        pkg / "data" / "checkins.py",
+        pkg / "native" / "preprocess.cc",
+        pkg / "native" / "__init__.py",
+    ):
+        h.update(src.read_bytes())
     return pathlib.Path(cache_dir) / f"{h.hexdigest()[:24]}.pkl"
+
+
+def _cache_dir_is_trusted(path: "pathlib.Path") -> bool:
+    """Only read pickles from a directory this uid owns with no group/other
+    write access: the cache deserializes with pickle, so a world-writable
+    shared dir would let another local user plant arbitrary-code payloads
+    under a predictable key."""
+    import os
+    import stat
+
+    try:
+        st = os.stat(path.parent)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid() and not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH))
 
 
 def load_dataset(cfg: DataConfig) -> Dataset:
@@ -432,7 +457,7 @@ def load_dataset(cfg: DataConfig) -> Dataset:
     from poi_tpu.data.checkins import load_checkins
 
     cpath = _cache_path(cfg)
-    if cpath is not None and cpath.exists():
+    if cpath is not None and cpath.exists() and _cache_dir_is_trusted(cpath):
         try:
             with open(cpath, "rb") as f:
                 return pickle.load(f)
@@ -448,7 +473,9 @@ def load_dataset(cfg: DataConfig) -> Dataset:
     )
     ds = build_dataset(table, cfg)
     if cpath is not None:
-        cpath.parent.mkdir(parents=True, exist_ok=True)
+        cpath.parent.mkdir(parents=True, exist_ok=True, mode=0o700)
+        if not _cache_dir_is_trusted(cpath):
+            return ds  # pre-existing dir owned by someone else: don't publish
         # Atomic publish so concurrent builders never read a partial pickle.
         fd, tmp = tempfile.mkstemp(dir=cpath.parent, suffix=".tmp")
         with os.fdopen(fd, "wb") as f:

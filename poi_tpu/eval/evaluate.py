@@ -304,10 +304,13 @@ def _reduce_metrics_across_processes(topk: np.ndarray, tgt: np.ndarray, ks) -> d
     return out
 
 
-def popularity_baseline(dataset: Dataset, ks=(1, 5, 10)) -> dict[str, float]:
+def popularity_baseline(dataset: Dataset, ks=(1, 5, 10), split: str = "test") -> dict[str, float]:
     """Recall of always recommending the globally most-popular POIs — the
     sanity floor any trained model must clear (SURVEY.md §4 Integration)."""
     k = max(ks)
+    examples = getattr(dataset, split)
+    if examples is None:
+        raise ValueError(f"dataset has no {split!r} split")
     top = np.argsort(dataset.poi_counts)[::-1][:k]
-    topk = np.broadcast_to(top, (len(dataset.test), k))
-    return ranking_metrics(topk, dataset.test.target, ks)
+    topk = np.broadcast_to(top, (len(examples), k))
+    return ranking_metrics(topk, examples.target, ks)

@@ -74,17 +74,25 @@ class Trainer:
         if (
             self.cfg.model.kind == "attention"
             and self.cfg.model.attn_impl in ("ring", "ulysses")
-            and n_model > 1
         ):
-            from poi_tpu.parallel.sp_attention import make_sp_attention
+            if n_model > 1:
+                from poi_tpu.parallel.sp_attention import make_sp_attention
 
-            self.model.sp_mha = make_sp_attention(
-                self.mesh,
-                self.cfg.model.attn_heads,
-                self.cfg.model.attn_window,
-                self.cfg.model.attn_impl,
-                self.cfg.model.attn_block_size,
-            )
+                self.model.sp_mha = make_sp_attention(
+                    self.mesh,
+                    self.cfg.model.attn_heads,
+                    self.cfg.model.attn_window,
+                    self.cfg.model.attn_impl,
+                    self.cfg.model.attn_block_size,
+                )
+            else:
+                # Mirror the fused-cell fallback's visibility (models/base.py):
+                # SP attention needs a model axis to shard the sequence over.
+                log.info(
+                    "model.attn_impl=%r requested but mesh model axis is 1; "
+                    "falling back to single-device blockwise attention",
+                    self.cfg.model.attn_impl,
+                )
         loss_fn = self.loss_override
         if loss_fn is None:
             if n_model > 1:
@@ -163,6 +171,7 @@ class Trainer:
                     a2a_shards,
                     self.dims.num_pois_padded // a2a_shards,
                     cfg.mesh.a2a_capacity_factor,
+                    data_shards=self.mesh.shape[mesh_lib.DATA_AXIS],
                 )
             new_state = TrainState(state.step + 1, params, opt_state, state.rng)
             return new_state, metrics

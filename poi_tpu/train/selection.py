@@ -34,9 +34,21 @@ class BestOnVal:
     onto the trainer's mesh layout.
     """
 
-    def __init__(self, trainer, dataset, cfg, metric: str = "recall@10"):
+    def __init__(self, trainer, dataset, cfg, metric: str | None = None):
         if dataset.val is None:
             raise ValueError("BestOnVal needs data.val_fraction > 0 (Dataset.val)")
+        # Default to the largest configured recall cutoff so the metric is
+        # guaranteed present in evaluate()'s output; validate explicit picks
+        # up front instead of KeyError-ing deep in the train loop.
+        ks = tuple(cfg.eval.recall_ks)
+        available = {f"recall@{k}" for k in ks} | {f"ndcg@{max(ks)}"}
+        if metric is None:
+            metric = f"recall@{max(ks)}"
+        elif metric not in available:
+            raise ValueError(
+                f"BestOnVal metric {metric!r} will not be in evaluate()'s "
+                f"output; available with eval.recall_ks={ks}: {sorted(available)}"
+            )
         self.trainer = trainer
         self.ds = dataset
         self.cfg = cfg

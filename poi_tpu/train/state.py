@@ -21,7 +21,16 @@ class TrainState(NamedTuple):
 def lr_schedule(cfg: TrainConfig):
     """The LR schedule as a callable(step) — also used for logging."""
     if cfg.lr_schedule == "cosine":
-        warmup = max(min(cfg.warmup_steps, cfg.num_steps // 2), 1)
+        # Honor warmup_steps as configured (optax accepts 0); an explicit
+        # warmup longer than the run is a config error, not something to
+        # silently clamp.
+        if cfg.warmup_steps > cfg.num_steps // 2:
+            raise ValueError(
+                f"train.warmup_steps={cfg.warmup_steps} exceeds half the "
+                f"run (num_steps={cfg.num_steps}); cosine decay would never "
+                "meaningfully start"
+            )
+        warmup = cfg.warmup_steps
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=cfg.learning_rate,

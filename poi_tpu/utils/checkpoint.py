@@ -48,6 +48,11 @@ class CheckpointManager:
     def wait(self) -> None:
         self._mgr.wait_until_finished()
 
+    def delete(self, step: int) -> None:
+        """Remove one step (used to replace a just-saved final checkpoint
+        with the best-on-val-selected params)."""
+        self._mgr.delete(step)
+
     # --------------------------------------------------------------- restore
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()

@@ -1,11 +1,12 @@
 """Short-probe tuning sweep for config #4 (attention + sampled softmax).
 
-VERDICT r2 Missing #3 / Weak #6: config #4 never got the two knobs the
-config-#3 sweep proved decisive on synthetic check-in data — the user
-embedding (r@10 0.330 vs 0.157 at 2k steps on #3) and dropout (holds the
-curve where undropped runs peak early and decay). Probe both here at the
-attention tower's own scale, promote the winner into the preset, then run
-the full 5k-step budget (scripts/quality_runs.py).
+Round-4 post-eval-fix sweep (VERDICT r3 Next #1): the original probe design
+(user embedding × dropout — the knobs the config-#3 sweep proved decisive)
+was mooted the same day by the 267dcee eval-mask fix; no post-fix sweep ever
+landed. This runs it under the fixed eval, scoring the VALIDATION split
+(data.val_fraction) so knob selection never touches test; winners are
+promoted into configs/presets.py and the full-budget test row comes from
+scripts/quality_runs.py with best-on-val.
 
     python scripts/tune_attention.py [steps]
 """
@@ -33,20 +34,20 @@ def main(steps: int = 2000) -> int:
     from poi_tpu.eval.evaluate import evaluate, popularity_baseline
     from poi_tpu.train.loop import train
 
-    base = get_config("attention_gowalla")
+    base = get_config("attention_gowalla").with_overrides({"data.val_fraction": "0.1"})
     ds = load_dataset(base.data)
     pop = None
     for name, over in PROBES.items():
         cfg = base.with_overrides({**over, "train.num_steps": str(steps)})
         t0 = time.time()
         trainer, state, history = train(cfg, ds)
-        m = evaluate(trainer.model, state.params, ds, cfg, mesh=trainer.mesh)
+        m = evaluate(trainer.model, state.params, ds, cfg, mesh=trainer.mesh, split="val")
         if pop is None:
-            pop = popularity_baseline(ds, cfg.eval.recall_ks)
+            pop = popularity_baseline(ds, cfg.eval.recall_ks, split="val")
         dt = time.time() - t0
         print(
             f"PROBE {name:>12}: loss={history[-1]['loss']:.3f} "
-            f"r@1={m['recall@1']:.4f} r@5={m['recall@5']:.4f} r@10={m['recall@10']:.4f} "
+            f"VAL r@1={m['recall@1']:.4f} r@5={m['recall@5']:.4f} r@10={m['recall@10']:.4f} "
             f"ndcg={m['ndcg@10']:.4f} | pop r@10={pop['recall@10']:.4f} "
             f"{'BEATS POP' if m['recall@10'] > pop['recall@10'] else 'below'} ({dt:.0f}s)",
             flush=True,

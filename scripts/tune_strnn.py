@@ -1,8 +1,14 @@
 """Short-probe tuning sweep for config #3 (ST-RNN) model quality.
 
-VERDICT r1 item 3: ST-RNN must beat the popularity floor. Runs N-step probes
-over candidate overrides on the real chip and prints recall@10 vs popularity
-for each; the winner gets promoted into configs/presets.py.
+Round-4 re-validation (VERDICT r3 Next #1): every pre-267dcee tuning
+conclusion was measured through the position-0 eval bug, including the
+config-#3 preset's "user embedding decisive / dropout 0.5 holds the curve"
+story. This sweep re-tests exactly those knobs under the fixed eval,
+scoring the VALIDATION split (data.val_fraction) so knob selection never
+touches test; the winner is promoted into configs/presets.py and the full
+5k-step test row comes from scripts/quality_runs.py with best-on-val.
+
+    python scripts/tune_strnn.py [steps]
 """
 
 from __future__ import annotations
@@ -13,43 +19,37 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+# Preset base = user embedding ON + dropout 0.5 (the pre-fix winners).
 PROBES = {
     "base": {},
-    "h128": {"model.embed_dim": "128", "model.hidden_dim": "128"},
+    "no_user": {"model.use_user_embedding": "false"},
+    "no_drop": {"model.dropout": "0.0"},
+    "drop03": {"model.dropout": "0.3"},
+    "h256": {"model.embed_dim": "256", "model.hidden_dim": "256"},
     "lr3e3": {"train.learning_rate": "0.003"},
-    "seq64": {"data.max_seq_len": "64"},
-    "untied": {"model.tie_output_embedding": "false"},
-    "h128_lr3e3": {
-        "model.embed_dim": "128", "model.hidden_dim": "128",
-        "train.learning_rate": "0.003",
-    },
 }
 
 
-def main(steps: int = 800) -> int:
+def main(steps: int = 1500) -> int:
     from poi_tpu.configs.presets import get_config
     from poi_tpu.data.dataset import load_dataset
     from poi_tpu.eval.evaluate import evaluate, popularity_baseline
     from poi_tpu.train.loop import train
 
-    base = get_config("strnn_gowalla")
-    ds_cache: dict[str, object] = {}
-    rows = []
+    base = get_config("strnn_gowalla").with_overrides({"data.val_fraction": "0.1"})
+    ds = load_dataset(base.data)
+    pop = None
     for name, over in PROBES.items():
         cfg = base.with_overrides({**over, "train.num_steps": str(steps)})
-        dkey = cfg.data.max_seq_len
-        if dkey not in ds_cache:
-            ds_cache[dkey] = load_dataset(cfg.data)
-        ds = ds_cache[dkey]
         t0 = time.time()
         trainer, state, history = train(cfg, ds)
-        m = evaluate(trainer.model, state.params, ds, cfg, mesh=trainer.mesh)
-        pop = popularity_baseline(ds, cfg.eval.recall_ks)
+        m = evaluate(trainer.model, state.params, ds, cfg, mesh=trainer.mesh, split="val")
+        if pop is None:
+            pop = popularity_baseline(ds, cfg.eval.recall_ks, split="val")
         dt = time.time() - t0
-        rows.append((name, history[-1]["loss"], m, pop, dt))
         print(
             f"PROBE {name:>12}: loss={history[-1]['loss']:.3f} "
-            f"r@1={m['recall@1']:.4f} r@5={m['recall@5']:.4f} r@10={m['recall@10']:.4f} "
+            f"VAL r@1={m['recall@1']:.4f} r@5={m['recall@5']:.4f} r@10={m['recall@10']:.4f} "
             f"ndcg={m['ndcg@10']:.4f} | pop r@10={pop['recall@10']:.4f} "
             f"{'BEATS POP' if m['recall@10'] > pop['recall@10'] else 'below'} ({dt:.0f}s)",
             flush=True,
@@ -58,4 +58,4 @@ def main(steps: int = 800) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 800))
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 1500))

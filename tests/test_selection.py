@@ -57,3 +57,56 @@ def test_evaluate_unknown_split_raises():
     state = trainer.init_state()
     with pytest.raises(ValueError):
         evaluate(trainer.model, state.params, ds, cfg, split="val")
+
+
+def test_final_checkpoint_carries_selected_params(tmp_path, monkeypatch):
+    """ADVICE r3: with BestOnVal active, the final checkpoint must persist the
+    SELECTED (best-on-val) params, not the live end-of-run state — a later
+    `eval`/`recommend` of the directory has to match the reported metrics.
+    Forces best_step < final step by monkeypatching the tracker's scoring."""
+    import jax
+
+    from poi_tpu.cli import run_train
+    from poi_tpu.parallel.shardings import state_shardings
+    from poi_tpu.utils.checkpoint import CheckpointManager, abstract_like
+
+    cfg = get_config("smoke").with_overrides(
+        {
+            "data.val_fraction": "0.2",
+            "train.num_steps": "60",
+            "train.eval_every": "20",
+            "train.checkpoint_every": "20",
+            "checkpoint.directory": str(tmp_path / "ckpt"),
+        }
+    )
+    # Make the FIRST val eval always win so the selected params are from
+    # step 20, strictly before the end-of-run state the callback saved.
+    captured = {}
+    orig_call = BestOnVal.__call__
+
+    def rigged(self, step, state, metrics):
+        orig_call(self, step, state, metrics)
+        if step == 20:
+            self.best_score = float("inf")
+            self.best_step = 20
+            self._host_params = jax.device_get(state.params)
+            captured["params"] = self._host_params
+
+    monkeypatch.setattr(BestOnVal, "__call__", rigged)
+    assert run_train(cfg) == 0
+
+    ds = load_dataset(cfg.data)
+    trainer = Trainer(cfg, DataDims.from_dataset(ds))
+    state = trainer.init_state()
+    ckpt = CheckpointManager(cfg.checkpoint.directory)
+    sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
+    restored, _ = ckpt.restore(abstract_like(state, sh))
+    ckpt.close()
+    want = captured["params"]
+    got = jax.device_get(restored.params)
+    flat_w, _ = jax.tree.flatten(want)
+    flat_g, _ = jax.tree.flatten(got)
+    for w, g in zip(flat_w, flat_g):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    # ... while the checkpoint's step stays the final one (resume-complete).
+    assert int(restored.step) == 60

@@ -142,3 +142,23 @@ def test_topk_cache_lives_and_dies_with_model(setup):
     del model, fn1
     gc.collect()
     assert ref() is None  # model->cache->closure->model cycle is collectable
+
+
+def test_finalize_pads_with_sentinel_not_visited():
+    """When the catalog has fewer than k unvisited POIs, short rows come back
+    padded with -1 — never a silently repeated or visited POI (r3 Weak #6)."""
+    import numpy as np
+
+    from poi_tpu.eval.serve import Checkin, Recommender
+
+    # 6 candidate ids total, 4 of them visited, k=5 -> only 2 valid slots.
+    ids = np.array([[0, 1, 2, 3, 4, 5]])
+    hist = [Checkin(poi=p, timestamp=1000.0 * p) for p in (0, 1, 2, 3)]
+    out = Recommender._finalize(ids, [hist], k=5, exclude_visited=True)
+    assert out.shape == (1, 5)
+    assert out[0, :2].tolist() == [4, 5]
+    assert (out[0, 2:] == -1).all()
+    # No visited id anywhere, no duplicates among valid entries.
+    valid = [i for i in out[0] if i >= 0]
+    assert not (set(valid) & {0, 1, 2, 3})
+    assert len(valid) == len(set(valid))
