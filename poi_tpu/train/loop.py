@@ -155,10 +155,23 @@ class Trainer:
             params = optax.apply_updates(state.params, updates)
             from poi_tpu.train.state import lr_schedule
 
+            # The two global norms are observability-only and cost two full
+            # param+grad tree reductions (~0.3 ms/step at bench scale, ~4% of
+            # the step). Every consumer (history rows, the log line) reads
+            # them only on steps where (step+1) % log_every == 0, so they are
+            # computed exactly there and reported 0.0 elsewhere (profiled:
+            # VERDICT r3 Next #3).
+            is_log_step = (state.step + 1) % max(1, cfg.train.log_every) == 0
+            grad_norm, param_norm = jax.lax.cond(
+                is_log_step,
+                lambda: (optax.global_norm(grads).astype(jnp.float32),
+                         optax.global_norm(params).astype(jnp.float32)),
+                lambda: (jnp.float32(0.0), jnp.float32(0.0)),
+            )
             metrics = {
                 "loss": loss,
-                "grad_norm": optax.global_norm(grads),
-                "param_norm": optax.global_norm(params),
+                "grad_norm": grad_norm,
+                "param_norm": param_norm,
                 "lr": lr_schedule(cfg.train)(state.step),
             }
             if a2a_shards > 1:

@@ -162,3 +162,75 @@ def test_finalize_pads_with_sentinel_not_visited():
     valid = [i for i in out[0] if i >= 0]
     assert not (set(valid) & {0, 1, 2, 3})
     assert len(valid) == len(set(valid))
+
+
+def test_featurize_matches_scalar_oracle(setup):
+    """The vectorized _featurize must be bit-identical to the original
+    per-checkin scalar loop (kept here as the oracle)."""
+    import numpy as np
+
+    from poi_tpu.data.dataset import bucketize_interp, haversine_km
+    from poi_tpu.data.pipeline import Batch
+    from poi_tpu.eval.serve import Checkin, Recommender
+
+    cfg, ds, model, params = setup
+    rec = Recommender(model, params, cfg, ds)
+    rng = np.random.default_rng(7)
+    T = ds.max_seq_len
+    histories = []
+    for n in (1, 3, T, T + 5):  # incl. over-length (trimmed) and singleton
+        pois = rng.integers(0, ds.num_pois, size=n)
+        t0 = 1.3e9 + float(rng.integers(0, 86400 * 30))
+        hist = []
+        for i, p in enumerate(pois):
+            # Mix explicit and catalog-derived coordinates.
+            if i % 3 == 0:
+                hist.append(Checkin(int(p), t0 + 3700.0 * i,
+                                    lat=float(rng.uniform(-60, 60)),
+                                    lon=float(rng.uniform(-120, 120))))
+            else:
+                hist.append(Checkin(int(p), t0 + 3700.0 * i))
+        histories.append(hist)
+
+    got = rec._featurize(histories)
+
+    # Scalar oracle — the pre-vectorization implementation, verbatim.
+    B = len(histories)
+    lat_lo, lat_hi, lon_lo, lon_hi = ds.geo_bounds
+    g = ds.geo_grid
+    poi_in = np.zeros((B, T), np.int32)
+    mask = np.zeros((B, T), np.float32)
+    timeb = np.zeros((B, T), np.int32)
+    geob = np.zeros((B, T), np.int32)
+    tgap = np.zeros((B, T), np.float64)
+    dist = np.zeros((B, T), np.float64)
+    for b, hist in enumerate(histories):
+        hist = hist[-T:]
+        n = len(hist)
+        for t, c in enumerate(hist):
+            lat = c.lat if c.lat is not None else float(ds.poi_latlon[c.poi, 0])
+            lon = c.lon if c.lon is not None else float(ds.poi_latlon[c.poi, 1])
+            poi_in[b, t] = c.poi
+            how = (c.timestamp // 3600) % (24 * 7)
+            timeb[b, t] = int(how * ds.time_buckets // (24 * 7))
+            lq = np.clip((lat - lat_lo) / max(lat_hi - lat_lo, 1e-9) * g, 0, g - 1)
+            oq = np.clip((lon - lon_lo) / max(lon_hi - lon_lo, 1e-9) * g, 0, g - 1)
+            geob[b, t] = int(lq) * g + int(oq)
+            if t > 0:
+                prev = hist[t - 1]
+                plat = prev.lat if prev.lat is not None else float(ds.poi_latlon[prev.poi, 0])
+                plon = prev.lon if prev.lon is not None else float(ds.poi_latlon[prev.poi, 1])
+                tgap[b, t] = c.timestamp - prev.timestamp
+                dist[b, t] = float(haversine_km(plat, plon, lat, lon))
+        mask[b, :n] = 1.0
+    ti, tf = bucketize_interp(tgap, ds.tgap_edges)
+    di, df = bucketize_interp(dist, ds.dist_edges)
+
+    np.testing.assert_array_equal(got.poi_in, poi_in)
+    np.testing.assert_array_equal(got.mask, mask)
+    np.testing.assert_array_equal(got.time_bucket, timeb)
+    np.testing.assert_array_equal(got.geo_bucket, geob)
+    np.testing.assert_array_equal(got.tgap_idx, ti.astype(np.int32))
+    np.testing.assert_array_equal(got.dist_idx, di.astype(np.int32))
+    np.testing.assert_allclose(got.tgap_frac, tf.astype(np.float32), atol=0)
+    np.testing.assert_allclose(got.dist_frac, df.astype(np.float32), atol=0)
