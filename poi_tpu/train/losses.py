@@ -118,11 +118,14 @@ def sampled_softmax_loss(
         + bias[neg]
     )
     # logQ correction: uniform sampling w/ replacement, E[count_j] = S/V.
-    s_neg = s_neg - jnp.log(num_sampled / num_pois)
+    # Accidental hits (negative == row's positive) are masked in the same
+    # fused elementwise pass. The combined log-sum-exp is computed as
+    # logaddexp(LSE(s_neg), s_pos) — identical to LSE([s_pos | s_neg]) but
+    # without materializing the [B, T, 1+S] concatenation (134 MB at config
+    # #4's B=256: the concat copy and its backward were pure HBM traffic).
     hit = neg[None, None, :] == targets[..., None]
-    s_neg = jnp.where(hit, -1e30, s_neg)
-    logits = jnp.concatenate([s_pos[..., None], s_neg], axis=-1)  # [B, T, 1+S]
-    nll = jax.nn.logsumexp(logits, axis=-1) - s_pos
+    s_neg = jnp.where(hit, -1e30, s_neg - jnp.log(num_sampled / num_pois))
+    nll = jnp.logaddexp(jax.nn.logsumexp(s_neg, axis=-1), s_pos) - s_pos
     return _masked_mean(nll, mask)
 
 
@@ -152,5 +155,13 @@ def build_loss_fn(cfg: LossConfig, num_pois: int) -> Callable:
     if cfg.kind == "bpr":
         return lambda q, t, b, y, m, rng: bpr_loss(q, t, b, y, m, rng, cfg.num_negatives, num_pois)
     if cfg.kind == "sampled_softmax":
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu" and cfg.num_sampled >= 128:
+            from poi_tpu.ops.fused_sampled import fused_sampled_softmax_loss
+
+            return lambda q, t, b, y, m, rng: fused_sampled_softmax_loss(
+                q, t, b, y, m, rng, cfg.num_sampled, num_pois
+            )
         return lambda q, t, b, y, m, rng: sampled_softmax_loss(q, t, b, y, m, rng, cfg.num_sampled, num_pois)
     raise ValueError(f"unknown loss {cfg.kind!r}")
