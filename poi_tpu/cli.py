@@ -44,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
     p_eval = sub.add_parser("eval", help="evaluate a checkpoint")
     add_common(p_eval)
     p_eval.add_argument("--checkpoint-dir", default=None)
+    p_eval.add_argument("--step", type=int, default=None,
+                        help="checkpoint step to evaluate (default: latest)")
 
     p_rec = sub.add_parser(
         "recommend",
@@ -51,6 +53,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     add_common(p_rec)
     p_rec.add_argument("--checkpoint-dir", default=None)
+    p_rec.add_argument("--step", type=int, default=None,
+                       help="checkpoint step to serve from (default: latest)")
     p_rec.add_argument("--input", default="-", help="JSON file of histories ('-' = stdin): "
                        '[[{"poi": 1, "timestamp": 1000.0}, ...], ...]')
     p_rec.add_argument("--k", type=int, default=10)
@@ -89,9 +93,9 @@ def main(argv: list[str] | None = None) -> int:
             tensorboard=args.tensorboard,
         )
     if args.cmd == "eval":
-        return run_eval(cfg)
+        return run_eval(cfg, step=args.step)
     if args.cmd == "recommend":
-        return run_recommend(cfg, args.input, args.k, not args.include_visited)
+        return run_recommend(cfg, args.input, args.k, not args.include_visited, step=args.step)
     return 1
 
 
@@ -216,8 +220,10 @@ def run_train(
     return 0
 
 
-def _restore_for_inference(cfg):
-    """Shared eval/serve bring-up: dataset + trainer + restored state."""
+def _restore_for_inference(cfg, step=None):
+    """Shared eval/serve bring-up: dataset + trainer + restored state.
+    ``step`` selects a specific checkpoint (default: latest) — checkpointed
+    eval by step, SURVEY.md §5 "Checkpoint/resume"."""
     from poi_tpu.data.dataset import load_dataset
     from poi_tpu.models.base import DataDims
     from poi_tpu.parallel import mesh as mesh_lib
@@ -231,12 +237,12 @@ def _restore_for_inference(cfg):
     state = trainer.init_state()
     ckpt = CheckpointManager(cfg.checkpoint.directory)
     sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
-    state, _ = ckpt.restore(abstract_like(state, sh))
+    state, _ = ckpt.restore(abstract_like(state, sh), step=step)
     ckpt.close()
     return ds, trainer, state
 
 
-def run_recommend(cfg, input_path: str, k: int, exclude_visited: bool) -> int:
+def run_recommend(cfg, input_path: str, k: int, exclude_visited: bool, step: int | None = None) -> int:
     import json
 
     import jax
@@ -246,7 +252,7 @@ def run_recommend(cfg, input_path: str, k: int, exclude_visited: bool) -> int:
     # Restore first (initializes jax.distributed when configured) so
     # process_count() is meaningful; in a multi-process launch only process 0
     # reads the request and prints — the rest are compute shards.
-    ds, trainer, state = _restore_for_inference(cfg)
+    ds, trainer, state = _restore_for_inference(cfg, step=step)
     histories = None
     if jax.process_index() == 0:
         raw = sys.stdin.read() if input_path == "-" else open(input_path).read()
@@ -262,27 +268,14 @@ def run_recommend(cfg, input_path: str, k: int, exclude_visited: bool) -> int:
     return 0
 
 
-def run_eval(cfg) -> int:
-    from poi_tpu.data.dataset import load_dataset
+def run_eval(cfg, step: int | None = None) -> int:
     from poi_tpu.eval.evaluate import evaluate
-    from poi_tpu.models.base import DataDims
-    from poi_tpu.parallel import mesh as mesh_lib
-    from poi_tpu.train.loop import Trainer
-    from poi_tpu.utils.checkpoint import CheckpointManager, abstract_like
-    from poi_tpu.parallel.shardings import state_shardings
 
     log = logging.getLogger("poi_tpu.cli")
-    mesh_lib.maybe_init_distributed()
-    ds = load_dataset(cfg.data)
-    trainer = Trainer(cfg, DataDims.from_dataset(ds))
-    state = trainer.init_state()
-    ckpt = CheckpointManager(cfg.checkpoint.directory)
-    sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
-    state, _ = ckpt.restore(abstract_like(state, sh))
+    ds, trainer, state = _restore_for_inference(cfg, step=step)
     log.info("restored step %d", int(state.step))
     m = evaluate(trainer.model, state.params, ds, cfg, mesh=trainer.mesh)
     print(m)
-    ckpt.close()
     return 0
 
 

@@ -137,3 +137,46 @@ def test_fault_inject_then_resume(setup, tmp_path):
     _, final, _ = train(cfg, ds, num_steps=2, state=restored, trainer=trainer)
     assert int(final.step) == 6
     mgr.close()
+
+
+def test_eval_and_recommend_by_step(setup, tmp_path, capsys):
+    """`--step N` restores a SPECIFIC checkpoint, not the latest (checkpointed
+    eval by step — SURVEY.md §5)."""
+    import json
+
+    from poi_tpu.cli import main as cli_main
+
+    ckdir = str(tmp_path / "bystep")
+    rc = cli_main([
+        "train", "--config", "smoke", "--platform", "cpu",
+        "--checkpoint-dir", ckdir,
+        "--set", "train.num_steps=6", "train.checkpoint_every=2",
+        "train.eval_every=100", "train.log_every=2", "checkpoint.max_to_keep=10",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    for step in (2, 6):
+        rc = cli_main([
+            "eval", "--config", "smoke", "--platform", "cpu",
+            "--checkpoint-dir", ckdir, "--step", str(step),
+        ])
+        assert rc == 0
+    out = capsys.readouterr().out
+    assert "recall@10" in out
+    # recommend from an early step works too
+    import io
+    import sys as _sys
+
+    req = json.dumps([[{"poi": 3, "timestamp": 1000.0}]])
+    old_stdin = _sys.stdin
+    _sys.stdin = io.StringIO(req)
+    try:
+        rc = cli_main([
+            "recommend", "--config", "smoke", "--platform", "cpu",
+            "--checkpoint-dir", ckdir, "--step", "2", "--k", "3",
+        ])
+    finally:
+        _sys.stdin = old_stdin
+    assert rc == 0
+    ids = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(ids[0]) == 3
