@@ -35,7 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 # VMEM budget for the backward's slab-resident dq block (bytes of fp32).
-_BWD_SLAB_BYTES = 4 << 20
+# 2 MB keeps the full working set (dq slab + de_out block + acc_e scratch +
+# z tile + operands) inside the 16 MB scoped-VMEM limit at D=512/S=4096
+# (config #5's shape compiled 16.02 MB with a 4 MB slab — 24 KB over).
+_BWD_SLAB_BYTES = 2 << 20
 
 
 def _pad_rows(a, rb, fill=0):
@@ -136,10 +139,15 @@ def _bwd_kernel(
 
 
 def _tiles(s_pool: int, d: int, n_rows: int):
-    """(chunk_s, row_block) sized to VMEM: z tile rb·cs·4B ≲ 4 MB with the
-    pool chunk and accumulators alongside; rb never exceeds the padded row
-    count (small batches keep a single small block)."""
-    chunk_s = min(-(-s_pool // 128) * 128, 2048)
+    """(chunk_s, row_block) sized to VMEM: the chunk's fp32 accumulator
+    (cs·d·4B) stays ≲ 2 MB — twice over in the backward as de_out block +
+    acc_e scratch — and the z tile rb·cs·4B ≲ 4 MB; rb never exceeds the
+    padded row count (small batches keep a single small block)."""
+    chunk_s = min(
+        -(-s_pool // 128) * 128,
+        max(512, (2 << 20) // (4 * d) // 128 * 128),
+        2048,
+    )
     row_block = max(256, min(2048, (4 << 20) // (4 * chunk_s) // 256 * 256))
     return chunk_s, min(row_block, -(-n_rows // 256) * 256)
 
