@@ -60,6 +60,17 @@ def main(argv: list[str] | None = None) -> int:
     p_rec.add_argument("--k", type=int, default=10)
     p_rec.add_argument("--include-visited", action="store_true")
 
+    p_srv = sub.add_parser(
+        "serve",
+        help="persistent serving loop: line-delimited JSON requests on stdin, "
+             "one JSON response line per request (model + jit cache stay warm)",
+    )
+    add_common(p_srv)
+    p_srv.add_argument("--checkpoint-dir", default=None)
+    p_srv.add_argument("--step", type=int, default=None,
+                       help="checkpoint step to serve from (default: latest)")
+    p_srv.add_argument("--k", type=int, default=10, help="default top-k per request")
+
     p_cfgs = sub.add_parser("configs", help="list named configs")
 
     args = parser.parse_args(argv)
@@ -96,6 +107,8 @@ def main(argv: list[str] | None = None) -> int:
         return run_eval(cfg, step=args.step)
     if args.cmd == "recommend":
         return run_recommend(cfg, args.input, args.k, not args.include_visited, step=args.step)
+    if args.cmd == "serve":
+        return run_serve(cfg, default_k=args.k, step=args.step)
     return 1
 
 
@@ -265,6 +278,64 @@ def run_recommend(cfg, input_path: str, k: int, exclude_visited: bool, step: int
     out = rec.recommend(histories, k=k, exclude_visited=exclude_visited)
     if out is not None:
         print(json.dumps(out.tolist()))
+    return 0
+
+
+def run_serve(cfg, default_k: int = 10, step: int | None = None) -> int:
+    """Persistent serving loop (single-process; the multi-process serving
+    rig is exercised through ``recommend`` — tests/test_multihost.py).
+
+    Protocol: one JSON request per stdin line —
+      ``[[{"poi": 1, "timestamp": 1000.0}, ...], ...]``                (bare)
+      ``{"histories": [...], "k": 5, "exclude_visited": false,
+         "user_ids": [...]}``                                         (full)
+    → one JSON response line: ``{"ids": [[...]]}`` or ``{"error": "..."}``
+    (a bad request never kills the server). EOF ends the loop. The model,
+    catalog prep, and per-shape jit caches stay warm across requests, so
+    sustained cost is the measured ~27 µs/request marginal
+    (BASELINE.md serving row), not the per-invocation restore+compile that
+    ``recommend`` pays.
+    """
+    import json
+
+    import jax
+
+    from poi_tpu.eval.serve import Checkin, Recommender
+
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "serve loop is single-process; use `recommend` under the "
+            "multi-process launcher for sharded serving"
+        )
+    log = logging.getLogger("poi_tpu.cli")
+    ds, trainer, state = _restore_for_inference(cfg, step=step)
+    rec = Recommender(trainer.model, state.params, cfg, ds, mesh=trainer.mesh)
+    log.info("serving (step %d): reading JSON requests from stdin", int(state.step))
+    served = 0
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            if isinstance(req, list):
+                req = {"histories": req}
+            histories = [
+                [Checkin(poi=int(c["poi"]), timestamp=float(c["timestamp"]),
+                         lat=c.get("lat"), lon=c.get("lon")) for c in hist]
+                for hist in req["histories"]
+            ]
+            out = rec.recommend(
+                histories,
+                k=int(req.get("k", default_k)),
+                user_ids=req.get("user_ids"),
+                exclude_visited=bool(req.get("exclude_visited", True)),
+            )
+            print(json.dumps({"ids": out.tolist()}), flush=True)
+            served += 1
+        except Exception as e:  # malformed request: report, keep serving
+            print(json.dumps({"error": f"{type(e).__name__}: {e}"}), flush=True)
+    log.info("served %d requests", served)
     return 0
 
 

@@ -234,3 +234,39 @@ def test_featurize_matches_scalar_oracle(setup):
     np.testing.assert_array_equal(got.dist_idx, di.astype(np.int32))
     np.testing.assert_allclose(got.tgap_frac, tf.astype(np.float32), atol=0)
     np.testing.assert_allclose(got.dist_frac, df.astype(np.float32), atol=0)
+
+
+def test_cli_serve_loop(tmp_path):
+    """`poi_tpu serve`: train a checkpoint, then stream 3 JSON requests
+    (bare list, full object, malformed) through one warm process."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    ckdir = str(tmp_path / "srv")
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [_sys.executable, "-m", "poi_tpu", "train", "--config", "smoke",
+         "--platform", "cpu", "--checkpoint-dir", ckdir,
+         "--set", "train.num_steps=4", "train.checkpoint_every=4",
+         "train.eval_every=100", "train.log_every=2"],
+        check=True, capture_output=True, env=env, timeout=300,
+    )
+    reqs = "\n".join([
+        json.dumps([[{"poi": 3, "timestamp": 1000.0}]]),
+        json.dumps({"histories": [[{"poi": 5, "timestamp": 2000.0},
+                                   {"poi": 7, "timestamp": 3000.0}]],
+                    "k": 4, "exclude_visited": False}),
+        "{not json",
+    ]) + "\n"
+    proc = subprocess.run(
+        [_sys.executable, "-m", "poi_tpu", "serve", "--config", "smoke",
+         "--platform", "cpu", "--checkpoint-dir", ckdir, "--k", "3"],
+        input=reqs, capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(l) for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 3, proc.stdout
+    assert len(lines[0]["ids"][0]) == 3          # default --k
+    assert len(lines[1]["ids"][0]) == 4          # per-request k
+    assert "error" in lines[2]                   # malformed kept the loop alive
