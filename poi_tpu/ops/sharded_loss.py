@@ -96,15 +96,52 @@ def make_sharded_bpr(mesh: Mesh, lookup: Callable, num_negatives: int, num_pois:
     return loss
 
 
-def make_sharded_sampled_softmax(mesh: Mesh, lookup: Callable, num_sampled: int, num_pois: int) -> Callable:
+def make_sharded_sampled_softmax(
+    mesh: Mesh,
+    lookup: Callable,
+    num_sampled: int,
+    num_pois: int,
+    fused: str = "auto",
+    interpret: bool = False,
+) -> Callable:
     """Sampled softmax over a vocab-sharded table: positives come through the
     data-sharded ``lookup``; the shared negative pool (replicated across the
-    mesh) comes through a replicated psum lookup. The [B, T, 1+S] logits are
+    mesh) comes through a replicated psum lookup. The negative logits are
     local to each data shard — no vocab-wide matmul. Matches
-    ``train.losses.sampled_softmax_loss`` for the same rng."""
+    ``train.losses.sampled_softmax_loss`` for the same rng.
+
+    ``fused="auto"`` routes the per-shard NLL through the Pallas kernels of
+    ``ops.fused_sampled`` on TPU backends (each data shard runs the kernel on
+    its own rows under ``shard_map``; the pool is replicated); ``"on"/"off"``
+    force it (``interpret=True`` for CPU-mesh tests). The dense fallback is
+    concat-free: LSE([s_pos|s_neg]) == logaddexp(LSE(s_neg), s_pos).
+    """
     from poi_tpu.ops.embedding import make_replicated_lookup
 
     rep_lookup = make_replicated_lookup(mesh)
+    use_fused = fused == "on" or (
+        fused == "auto" and jax.default_backend() != "cpu" and num_sampled >= 128
+    )
+
+    if use_fused:
+        from poi_tpu.ops.fused_sampled import sampled_nll_rows
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(DATA_AXIS, None),  # q2 rows
+                P(),  # e_neg (replicated pool)
+                P(),  # b_neg
+                P(DATA_AXIS),  # s_pos
+                P(DATA_AXIS),  # targets
+                P(),  # pool ids
+            ),
+            out_specs=P(DATA_AXIS),
+            check_rep=False,
+        )
+        def _fused_nll(q2, e_neg, b_neg, s_pos, t1, neg):
+            return sampled_nll_rows(q2, e_neg, b_neg, s_pos, (t1, neg), interpret)
 
     def loss(q, table, bias, targets, mask, rng):
         B, T = targets.shape
@@ -115,20 +152,28 @@ def make_sharded_sampled_softmax(mesh: Mesh, lookup: Callable, num_sampled: int,
         b_neg = rep_lookup(bias2d, neg)[:, 0]
         b_pos = lookup(bias2d, targets)[..., 0]
         s_pos = jnp.einsum("btd,btd->bt", q, e_pos, preferred_element_type=jnp.float32) + b_pos
-        s_neg = (
-            jnp.einsum(
-                "btd,sd->bts",
-                q.astype(jnp.bfloat16),
-                e_neg.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
+        if use_fused:
+            nll = _fused_nll(
+                q.reshape(B * T, -1),
+                e_neg,
+                b_neg - jnp.log(num_sampled / num_pois),
+                s_pos.reshape(-1),
+                targets.reshape(-1),
+                neg,
+            ).reshape(B, T)
+        else:
+            s_neg = (
+                jnp.einsum(
+                    "btd,sd->bts",
+                    q.astype(jnp.bfloat16),
+                    e_neg.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                + b_neg
             )
-            + b_neg
-        )
-        s_neg = s_neg - jnp.log(num_sampled / num_pois)
-        hit = neg[None, None, :] == targets[..., None]
-        s_neg = jnp.where(hit, NEG, s_neg)
-        logits = jnp.concatenate([s_pos[..., None], s_neg], axis=-1)
-        nll = jax.nn.logsumexp(logits, axis=-1) - s_pos
+            hit = neg[None, None, :] == targets[..., None]
+            s_neg = jnp.where(hit, NEG, s_neg - jnp.log(num_sampled / num_pois))
+            nll = jnp.logaddexp(jax.nn.logsumexp(s_neg, axis=-1), s_pos) - s_pos
         m = mask.astype(jnp.float32)
         return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 

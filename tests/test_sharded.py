@@ -259,3 +259,31 @@ def test_overflow_fraction_data_shard_granularity():
     inter = jnp.asarray(np.tile([0, 32], 16), jnp.int32)
     f3 = emb.lookup_overflow_fraction(inter, 2, 32, 1.0, data_shards=1)
     assert float(f3) == 0.0
+
+
+def test_sharded_fused_sampled_softmax_equals_dense(mesh42):
+    """The fused-kernel route of the sharded sampled softmax (Pallas under
+    shard_map, interpret mode on the fake mesh): value AND grads must match
+    the dense single-device loss for the same rng."""
+    from poi_tpu.ops import embedding as emb_mod
+    from poi_tpu.ops.sharded_loss import make_sharded_sampled_softmax
+
+    rng = np.random.default_rng(8)
+    B, T, S = 8, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    table = _table(rng)
+    bias = jnp.asarray(rng.normal(size=(V,)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, V, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T))
+    key = jax.random.key(4)
+    lookup = emb_mod.make_psum_lookup(mesh42)
+    fused = make_sharded_sampled_softmax(
+        mesh42, lookup, S, V, fused="on", interpret=True
+    )
+    got, g_got = jax.value_and_grad(lambda t: fused(q, t, bias, y, mask, key))(table)
+    want, g_want = jax.value_and_grad(
+        lambda t: dense_losses.sampled_softmax_loss(q, t, bias, y, mask, key, S, V)
+    )(table)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+    # bf16 matmul rounding differs between the kernel and the dense path.
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-3)
