@@ -103,6 +103,7 @@ def make_sharded_sampled_softmax(
     num_pois: int,
     fused: str = "auto",
     interpret: bool = False,
+    embed_dim: int | None = None,
 ) -> Callable:
     """Sampled softmax over a vocab-sharded table: positives come through the
     data-sharded ``lookup``; the shared negative pool (replicated across the
@@ -120,7 +121,10 @@ def make_sharded_sampled_softmax(
 
     rep_lookup = make_replicated_lookup(mesh)
     use_fused = fused == "on" or (
-        fused == "auto" and jax.default_backend() != "cpu" and num_sampled >= 128
+        fused == "auto"
+        and jax.default_backend() != "cpu"
+        and num_sampled >= 128
+        and (embed_dim is None or embed_dim % 128 == 0)  # lane-aligned queries
     )
 
     if use_fused:

@@ -107,10 +107,11 @@ class Trainer:
                     )
                 elif kind == "sampled_softmax":
                     loss_fn = sharded_loss.make_sharded_sampled_softmax(
-                        self.mesh, lookup, self.cfg.loss.num_sampled, self.dims.num_pois
+                        self.mesh, lookup, self.cfg.loss.num_sampled, self.dims.num_pois,
+                        embed_dim=self.cfg.model.embed_dim,
                     )
             if loss_fn is None:
-                loss_fn = build_loss_fn(self.cfg.loss, self.dims.num_pois)
+                loss_fn = build_loss_fn(self.cfg.loss, self.dims.num_pois, self.cfg.model.embed_dim)
         self.loss_fn = loss_fn
         self.optimizer = make_optimizer(self.cfg.train)
 

@@ -133,7 +133,7 @@ def sampled_softmax_loss(
 _FUSED_CE_MIN_VOCAB = 8192
 
 
-def build_loss_fn(cfg: LossConfig, num_pois: int) -> Callable:
+def build_loss_fn(cfg: LossConfig, num_pois: int, embed_dim: int | None = None) -> Callable:
     """Returns loss(q, table, bias, targets, mask, rng) -> scalar.
 
     Large-catalog CE dispatches to the fused (never-materialize-logits)
@@ -157,7 +157,13 @@ def build_loss_fn(cfg: LossConfig, num_pois: int) -> Callable:
     if cfg.kind == "sampled_softmax":
         import jax as _jax
 
-        if _jax.default_backend() != "cpu" and cfg.num_sampled >= 128:
+        # Fused path needs lane-aligned queries (D % 128); S >= 128 keeps the
+        # kernel grid non-degenerate. Everything else stays on the XLA path.
+        if (
+            _jax.default_backend() != "cpu"
+            and cfg.num_sampled >= 128
+            and (embed_dim is None or embed_dim % 128 == 0)
+        ):
             from poi_tpu.ops.fused_sampled import fused_sampled_softmax_loss
 
             return lambda q, t, b, y, m, rng: fused_sampled_softmax_loss(
