@@ -58,7 +58,7 @@ def _step_flops(cfg, dims) -> float:
     return 3.0 * (tower + proj + loss)
 
 
-def _throughput(cfg, ds, steps=30, warmup=5, repeats=5, dims=None) -> float:
+def _throughput(cfg, ds, steps=30, warmup=5, repeats=7, dims=None) -> float:
     """Best-of-``repeats`` timed windows. The TPU chip here is reached over a
     shared tunnel whose load swings measured step time by >2x run to run;
     best-of reflects the hardware capability rather than transient contention

@@ -172,6 +172,12 @@ def run_train(
 
     def callback(step, st, m):
         pw.step(step)
+        if step % cfg.train.eval_every == 0:
+            from poi_tpu.utils.obs import device_memory_stats
+
+            mem = device_memory_stats()  # empty on backends without memory_stats
+            if mem:
+                metrics.write(step, mem)
         if ckpt is not None and step % cfg.train.checkpoint_every == 0:
             ckpt.save(step, st, loader_state=_loader_state_at(step), config_json=cfg.to_json())
         if tracker is not None:

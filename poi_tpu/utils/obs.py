@@ -67,6 +67,21 @@ def _to_py(v):
         return v
 
 
+def device_memory_stats() -> dict[str, float]:
+    """HBM usage of the first local device, in GiB — empty when the backend
+    doesn't expose ``memory_stats()`` (e.g. the axon tunnel; BASELINE.md
+    records that case explicitly)."""
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+    return {
+        f"hbm_{k}_gib": v / 2**30
+        for k, v in ms.items()
+        if k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+    }
+
+
 class StepTimer:
     """Tracks steps/s and examples/s over a rolling window."""
 
