@@ -133,6 +133,11 @@ register(
 # (test; floor 0.1654) with ndcg a tie (0.2335 vs 0.2329). The user embedding
 # adds nothing here (val r@10 0.3791 vs 0.3783 at 2k steps) — unlike ST-RNN,
 # the windowed-attention tower already carries the personalization signal.
+# lr_schedule=cosine promoted by val (0.4025 vs 0.3996 constant): the decay
+# phase sharpens ranking dramatically — test ndcg 0.2743 vs 0.2335, r@1
+# 0.1625 vs 0.0827 at the same r@10 — where on the other presets cosine ties
+# (#2, #3) or hurts (#1: val 0.3747 vs 0.4145, the 3k budget is too short to
+# pay for decay), so it stays per-config, not global.
 register(
     Config(
         name="attention_gowalla",
@@ -154,7 +159,9 @@ register(
             dropout=0.3,
         ),
         loss=LossConfig(kind="sampled_softmax", num_sampled=1024),
-        train=TrainConfig(batch_size=64, num_steps=5_000),
+        train=TrainConfig(
+            batch_size=64, num_steps=5_000, lr_schedule="cosine", lr_min_frac=0.05
+        ),
         mesh=MeshConfig(data=-1, model=1),
     )
 )
