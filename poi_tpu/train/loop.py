@@ -109,6 +109,9 @@ class Trainer:
                     loss_fn = sharded_loss.make_sharded_sampled_softmax(
                         self.mesh, lookup, self.cfg.loss.num_sampled, self.dims.num_pois,
                         embed_dim=self.cfg.model.embed_dim,
+                        fused={"auto": "auto", "fused": "on", "xla": "off"}[
+                            self.cfg.loss.impl
+                        ],
                     )
             if loss_fn is None:
                 loss_fn = build_loss_fn(self.cfg.loss, self.dims.num_pois, self.cfg.model.embed_dim)

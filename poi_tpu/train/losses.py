@@ -141,7 +141,11 @@ def build_loss_fn(cfg: LossConfig, num_pois: int, embed_dim: int | None = None) 
     2.7x over dense at bench scale), the XLA-chunked custom-VJP elsewhere.
     """
     if cfg.kind == "ce":
-        if num_pois >= _FUSED_CE_MIN_VOCAB and cfg.label_smoothing == 0.0:
+        if (
+            cfg.impl != "xla"
+            and num_pois >= _FUSED_CE_MIN_VOCAB
+            and cfg.label_smoothing == 0.0
+        ):
             import jax as _jax
 
             if _jax.default_backend() != "cpu":
@@ -159,10 +163,9 @@ def build_loss_fn(cfg: LossConfig, num_pois: int, embed_dim: int | None = None) 
 
         # Fused path needs lane-aligned queries (D % 128); S >= 128 keeps the
         # kernel grid non-degenerate. Everything else stays on the XLA path.
-        if (
-            _jax.default_backend() != "cpu"
-            and cfg.num_sampled >= 128
-            and (embed_dim is None or embed_dim % 128 == 0)
+        shapes_ok = cfg.num_sampled >= 128 and (embed_dim is None or embed_dim % 128 == 0)
+        if cfg.impl != "xla" and _jax.default_backend() != "cpu" and (
+            shapes_ok or cfg.impl == "fused"
         ):
             from poi_tpu.ops.fused_sampled import fused_sampled_softmax_loss
 

@@ -83,6 +83,11 @@ class LossConfig:
     num_negatives: int = 1  # BPR negatives per positive
     num_sampled: int = 512  # sampled-softmax negatives per batch
     label_smoothing: float = 0.0
+    # Kernel dispatch for ce/sampled_softmax (mirrors model.cell_impl):
+    #   auto  — Pallas fused kernels on TPU when shapes qualify (the default)
+    #   fused — force the fused path (still falls back off-TPU)
+    #   xla   — force the plain XLA implementation (debug/bisection)
+    impl: str = "auto"  # auto | fused | xla
 
 
 @dataclass(frozen=True)

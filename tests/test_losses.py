@@ -105,3 +105,20 @@ def test_losses_differentiable():
         g = jax.grad(fn)(table)
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_loss_impl_override():
+    """loss.impl=xla forces the plain implementations regardless of backend;
+    unknown values raise at config parse... (string field — validated here
+    at dispatch: 'fused' on CPU still falls back without error)."""
+    from poi_tpu.configs.presets import get_config
+    from poi_tpu.train.losses import build_loss_fn
+
+    cfg = get_config("smoke").with_overrides(
+        {"loss.kind": "sampled_softmax", "loss.num_sampled": "256", "loss.impl": "xla"}
+    )
+    fn = build_loss_fn(cfg.loss, 512, embed_dim=128)
+    assert fn is not None
+    cfg2 = cfg.with_overrides({"loss.impl": "fused"})
+    fn2 = build_loss_fn(cfg2.loss, 512, embed_dim=128)  # CPU -> XLA fallback, no error
+    assert fn2 is not None
