@@ -138,11 +138,15 @@ def main() -> int:
     cfg_ours = get_config("smoke").with_overrides(
         {
             **base_overrides,
-            "train.batch_size": "256",
+            # batch 512 + 40-step dispatch: the r4 sweep
+            # (scripts/bench_variants.py, same window) measured
+            # 43,655 seq/s @ 512/40 vs 42,538 @ 256/40 vs 40,502 @ 256/10 —
+            # larger batches amortize the fixed per-step costs (optimizer,
+            # sampler gather, scan glue) over more sequences, and 40-step
+            # dispatch removes the last ~0.3 ms of per-dispatch host latency.
+            # Same workload class throughout: GRU 128-d, ~44k-catalog full CE.
+            "train.batch_size": "512",
             "model.compute_dtype": "bfloat16",
-            # 40-step dispatch: the r4 sweep (scripts/bench_variants.py)
-            # measured 6.02 ms/step at spc=40 vs 6.32 at spc=10 — the last
-            # ~0.3 ms of per-dispatch host latency amortized away.
             "train.steps_per_call": "40",
             "data.sampler": "device",
         }
