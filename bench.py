@@ -163,12 +163,16 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    # 120-step timed windows: the device->host scalar fence costs a fixed
+    # ~25 ms tunnel round trip per window, which a 40-step window would book
+    # as ~5% phantom step time; 120 steps amortize it below 2%. Both sides
+    # get the same treatment.
     print("benchmarking reference-shaped baseline (fp32, batch 32)...", file=sys.stderr)
-    ref = _throughput(cfg_ref, ds)
+    ref = _throughput(cfg_ref, ds, steps=120)
     print(f"baseline: {ref:.1f} seq/s", file=sys.stderr)
 
-    print("benchmarking tpu-native path (bf16, batch 256)...", file=sys.stderr)
-    ours = _throughput(cfg_ours, ds)
+    print("benchmarking tpu-native path (bf16, batch 512)...", file=sys.stderr)
+    ours = _throughput(cfg_ours, ds, steps=120)
     print(f"ours: {ours:.1f} seq/s", file=sys.stderr)
 
     from poi_tpu.models.base import DataDims
