@@ -76,6 +76,11 @@ register(
 # post-fix full-budget runs (2026-08-21) measure test r@10 0.3440/ndcg 0.2283
 # at 5k (best-on-val selected the FINAL step) vs 0.3541/0.2494 at 10k
 # (selected step 8250, past the peak this time — budget now brackets it).
+# num_negatives=32 promoted from the val-split sweep (4/8/16/32/64 → val
+# r@10 0.3658/0.3740/0.3755/0.3837/0.3824 — peak at 32): BPR's gradient
+# quality scales with negatives and the pairwise logits are so cheap that
+# throughput barely moves. Other knobs held: cosine LR ties (val 0.3665),
+# lr 2e-3 hurts (0.3581).
 register(
     Config(
         name="lstm_bpr_foursquare",
@@ -90,7 +95,7 @@ register(
         model=ModelConfig(
             kind="lstm", embed_dim=128, hidden_dim=128, use_user_embedding=True
         ),
-        loss=LossConfig(kind="bpr", num_negatives=4),
+        loss=LossConfig(kind="bpr", num_negatives=32),
         train=TrainConfig(batch_size=64, num_steps=10_000),
         mesh=MeshConfig(data=-1, model=1),
     )
