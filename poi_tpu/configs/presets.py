@@ -142,7 +142,9 @@ register(
 # phase sharpens ranking dramatically — test ndcg 0.2743 vs 0.2335, r@1
 # 0.1625 vs 0.0827 at the same r@10 — where on the other presets cosine ties
 # (#2, #3) or hurts (#1: val 0.3747 vs 0.4145, the 3k budget is too short to
-# pay for decay), so it stays per-config, not global.
+# pay for decay), so it stays per-config, not global. num_sampled held at
+# 1024: val 0.4025 vs 0.3992 (S=2048) vs 0.3952 (S=4096) — unlike BPR's
+# negatives, the logQ-corrected sampled-softmax estimator saturates.
 register(
     Config(
         name="attention_gowalla",
