@@ -216,23 +216,19 @@ def run_train(
     log.info("final eval: %s", final)
     log.info("popularity baseline: %s", pop)
     if ckpt is not None:
-        # The final checkpoint must persist the params the final eval was
-        # reported on: with best-on-val selection that is the SELECTED params,
-        # not the live end-of-run (typically past-the-val-peak) state. Training
-        # is complete, so a later `eval`/`recommend` of this directory — the
-        # only consumers — now matches the reported metrics exactly.
-        final_state = state
-        selected = tracker is not None and tracker.best_step >= 0
-        if selected:
-            final_state = state._replace(params=eval_params)
-        if ckpt.latest_step() == int(state.step) and selected:
-            ckpt.wait()  # the periodic callback already saved this step
-            ckpt.delete(int(state.step))
+        # The main step sequence always ends with the TRUE end-of-run state
+        # (consistent params/opt_state/step — resuming this directory with a
+        # larger train.num_steps is sound). The best-on-val-selected params —
+        # the ones the final eval was reported on — are persisted separately
+        # under <dir>/selected, which `eval`/`recommend` prefer by default,
+        # so a later load of this directory matches the reported metrics.
         if ckpt.latest_step() != int(state.step):
             ckpt.save(
-                int(state.step), final_state,
+                int(state.step), state,
                 loader_state=_loader_state_at(int(state.step)), config_json=cfg.to_json(),
             )
+        if tracker is not None and tracker.best_step >= 0:
+            ckpt.save_selected(tracker.best_step, eval_params)
         ckpt.wait()
         ckpt.close()
     metrics.close()
@@ -241,8 +237,12 @@ def run_train(
 
 def _restore_for_inference(cfg, step=None):
     """Shared eval/serve bring-up: dataset + trainer + restored state.
-    ``step`` selects a specific checkpoint (default: latest) — checkpointed
+    ``step`` selects a specific checkpoint (default: latest — overlaid with
+    the best-on-val-selected params when the run saved them, so inference on
+    a finished directory reproduces its reported metrics) — checkpointed
     eval by step, SURVEY.md §5 "Checkpoint/resume"."""
+    import logging as _logging
+
     from poi_tpu.data.dataset import load_dataset
     from poi_tpu.models.base import DataDims
     from poi_tpu.parallel import mesh as mesh_lib
@@ -256,7 +256,13 @@ def _restore_for_inference(cfg, step=None):
     state = trainer.init_state()
     ckpt = CheckpointManager(cfg.checkpoint.directory)
     sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
-    state, _ = ckpt.restore(abstract_like(state, sh), step=step)
+    abstract = abstract_like(state, sh)
+    state, _ = ckpt.restore(abstract, step=step)
+    if step is None and ckpt.selected_step() is not None:
+        state = state._replace(params=ckpt.restore_selected(abstract.params))
+        _logging.getLogger("poi_tpu.cli").info(
+            "using best-on-val-selected params (trained to step %d)", ckpt.selected_step()
+        )
     ckpt.close()
     return ds, trainer, state
 

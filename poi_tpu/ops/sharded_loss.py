@@ -120,11 +120,17 @@ def make_sharded_sampled_softmax(
     from poi_tpu.ops.embedding import make_replicated_lookup
 
     rep_lookup = make_replicated_lookup(mesh)
-    use_fused = fused == "on" or (
-        fused == "auto"
-        and jax.default_backend() != "cpu"
-        and num_sampled >= 128
-        and (embed_dim is None or embed_dim % 128 == 0)  # lane-aligned queries
+    # Same backend contract as build_loss_fn's single-device path: the fused
+    # Pallas kernel only runs on non-CPU backends (or in interpret mode for
+    # CPU-mesh tests) — a forced "on" still falls back off-TPU (ADVICE r4).
+    backend_ok = interpret or jax.default_backend() != "cpu"
+    use_fused = backend_ok and (
+        fused == "on"
+        or (
+            fused == "auto"
+            and num_sampled >= 128
+            and (embed_dim is None or embed_dim % 128 == 0)  # lane-aligned queries
+        )
     )
 
     if use_fused:

@@ -22,15 +22,19 @@ def lr_schedule(cfg: TrainConfig):
     """The LR schedule as a callable(step) — also used for logging."""
     if cfg.lr_schedule == "cosine":
         # Honor warmup_steps as configured (optax accepts 0); an explicit
-        # warmup longer than the run is a config error, not something to
-        # silently clamp.
-        if cfg.warmup_steps > cfg.num_steps // 2:
-            raise ValueError(
-                f"train.warmup_steps={cfg.warmup_steps} exceeds half the "
-                f"run (num_steps={cfg.num_steps}); cosine decay would never "
-                "meaningfully start"
-            )
+        # warmup longer than the run is a config error. But when the value is
+        # the untouched dataclass default, a short probe run (num_steps < 200)
+        # never chose it — clamp instead of raising (ADVICE r4).
         warmup = cfg.warmup_steps
+        if warmup > cfg.num_steps // 2:
+            if warmup == TrainConfig.warmup_steps:
+                warmup = cfg.num_steps // 10
+            else:
+                raise ValueError(
+                    f"train.warmup_steps={cfg.warmup_steps} exceeds half the "
+                    f"run (num_steps={cfg.num_steps}); cosine decay would never "
+                    "meaningfully start"
+                )
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=cfg.learning_rate,

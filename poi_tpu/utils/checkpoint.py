@@ -33,6 +33,7 @@ class CheckpointManager:
             enable_async_checkpointing=async_save,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self._sel_mgr: ocp.CheckpointManager | None = None
 
     # ------------------------------------------------------------------ save
     def save(self, step: int, state: TrainState, loader_state: dict | None = None, config_json: str | None = None) -> None:
@@ -47,11 +48,48 @@ class CheckpointManager:
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()
+        if self._sel_mgr is not None:
+            self._sel_mgr.wait_until_finished()
 
     def delete(self, step: int) -> None:
-        """Remove one step (used to replace a just-saved final checkpoint
-        with the best-on-val-selected params)."""
+        """Remove one step."""
         self._mgr.delete(step)
+
+    # ------------------------------------------------- selected (best-on-val)
+    # Best-on-val-selected params live in their OWN manager under
+    # <directory>/selected, keyed by the step they were trained to. The main
+    # step sequence always carries the true end-of-run state (consistent
+    # params/opt_state/step), so resuming with a larger train.num_steps is
+    # sound; eval/recommend prefer the selected params when present
+    # (ADVICE r4: overwriting the final step with best-step params left the
+    # real end-of-run params unrecoverable and resumed-from-mismatched pairs).
+    def _selected_mgr(self) -> ocp.CheckpointManager:
+        if self._sel_mgr is None:
+            self._sel_mgr = ocp.CheckpointManager(
+                os.path.join(self.directory, "selected"),
+                options=ocp.CheckpointManagerOptions(max_to_keep=1),
+            )
+        return self._sel_mgr
+
+    def save_selected(self, step: int, params: Any) -> None:
+        """Persist the best-on-val params under their own step number."""
+        self._selected_mgr().save(
+            step, args=ocp.args.Composite(params=ocp.args.StandardSave(params))
+        )
+
+    def selected_step(self) -> int | None:
+        if not os.path.isdir(os.path.join(self.directory, "selected")):
+            return None
+        return self._selected_mgr().latest_step()
+
+    def restore_selected(self, abstract_params: Any) -> Any:
+        step = self.selected_step()
+        if step is None:
+            raise FileNotFoundError(f"no selected checkpoint under {self.directory}")
+        restored = self._selected_mgr().restore(
+            step, args=ocp.args.Composite(params=ocp.args.StandardRestore(abstract_params))
+        )
+        return restored["params"]
 
     # --------------------------------------------------------------- restore
     def latest_step(self) -> int | None:
@@ -78,6 +116,8 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
+        if self._sel_mgr is not None:
+            self._sel_mgr.close()
 
 
 def _serializable(state: TrainState) -> dict:

@@ -59,14 +59,15 @@ def test_evaluate_unknown_split_raises():
         evaluate(trainer.model, state.params, ds, cfg, split="val")
 
 
-def test_final_checkpoint_carries_selected_params(tmp_path, monkeypatch):
-    """ADVICE r3: with BestOnVal active, the final checkpoint must persist the
-    SELECTED (best-on-val) params, not the live end-of-run state — a later
-    `eval`/`recommend` of the directory has to match the reported metrics.
-    Forces best_step < final step by monkeypatching the tracker's scoring."""
+def test_selected_params_persisted_and_preferred_for_inference(tmp_path, monkeypatch):
+    """ADVICE r4: the main step sequence must end with the TRUE end-of-run
+    state (so resume-with-a-larger-budget sees a consistent params/opt_state
+    pair), while eval/recommend on the finished directory must see the
+    best-on-val-SELECTED params — persisted under <dir>/selected. Forces
+    best_step < final step by monkeypatching the tracker's scoring."""
     import jax
 
-    from poi_tpu.cli import run_train
+    from poi_tpu.cli import _restore_for_inference, run_train
     from poi_tpu.parallel.shardings import state_shardings
     from poi_tpu.utils.checkpoint import CheckpointManager, abstract_like
 
@@ -95,18 +96,34 @@ def test_final_checkpoint_carries_selected_params(tmp_path, monkeypatch):
     monkeypatch.setattr(BestOnVal, "__call__", rigged)
     assert run_train(cfg) == 0
 
+    def assert_trees_equal(want, got):
+        flat_w, _ = jax.tree.flatten(want)
+        flat_g, _ = jax.tree.flatten(got)
+        for w, g in zip(flat_w, flat_g):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+    # Inference path (eval/recommend/serve) sees the SELECTED params...
+    _, _, inf_state = _restore_for_inference(cfg)
+    assert_trees_equal(captured["params"], jax.device_get(inf_state.params))
+
+    # ...while the main latest checkpoint is the true end-of-run state: step
+    # 60, params NOT equal to the step-20 selection (resume-consistent).
     ds = load_dataset(cfg.data)
     trainer = Trainer(cfg, DataDims.from_dataset(ds))
     state = trainer.init_state()
     ckpt = CheckpointManager(cfg.checkpoint.directory)
     sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
     restored, _ = ckpt.restore(abstract_like(state, sh))
+    assert ckpt.selected_step() == 20
     ckpt.close()
-    want = captured["params"]
-    got = jax.device_get(restored.params)
-    flat_w, _ = jax.tree.flatten(want)
-    flat_g, _ = jax.tree.flatten(got)
-    for w, g in zip(flat_w, flat_g):
-        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
-    # ... while the checkpoint's step stays the final one (resume-complete).
     assert int(restored.step) == 60
+    got = jax.device_get(restored.params)
+    flat_w, _ = jax.tree.flatten(captured["params"])
+    flat_g, _ = jax.tree.flatten(got)
+    assert any(
+        not np.array_equal(np.asarray(w), np.asarray(g))
+        for w, g in zip(flat_w, flat_g)
+    )
+    # An explicit --step request bypasses the selection overlay.
+    _, _, stepped = _restore_for_inference(cfg, step=60)
+    assert_trees_equal(got, jax.device_get(stepped.params))
