@@ -193,7 +193,12 @@ register(
             attn_heads=8,
         ),
         loss=LossConfig(kind="sampled_softmax", num_sampled=4096),
-        train=TrainConfig(batch_size=512, num_steps=10_000),
+        # table_update="sparse": touched-rows-only lazy Adam. Only ~70k of the
+        # 1M table rows (inputs ∪ targets ∪ negative pool) can carry gradient
+        # per step; dense Adam's read-modify-write over every row was ~20-30%
+        # of the step at this scale (VERDICT r4 Next #1; measured table in
+        # BASELINE.md "Config #5 step attribution").
+        train=TrainConfig(batch_size=512, num_steps=10_000, table_update="sparse"),
         mesh=MeshConfig(data=-1, model=4, embedding_mode="a2a"),
         eval=EvalConfig(topk_impl="pallas", batch_size=512),
         checkpoint=CheckpointConfig(directory="/tmp/poi_tpu_ckpt_1m"),

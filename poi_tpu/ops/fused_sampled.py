@@ -286,7 +286,9 @@ def fused_sampled_softmax_loss(
     identical negative pools), with the [B·T, S] logits fused into VMEM."""
     B, T = targets.shape
     d = q.shape[-1]
-    neg = jax.random.randint(rng, (num_sampled,), 0, num_pois)
+    from poi_tpu.train.losses import draw_sampled_negatives
+
+    neg = draw_sampled_negatives(rng, num_sampled, num_pois)
     e_neg = jnp.take(table, neg, axis=0)
     b_neg = bias[neg] - jnp.log(num_sampled / num_pois)
     q2 = q.reshape(B * T, d)

@@ -79,7 +79,9 @@ def make_sharded_bpr(mesh: Mesh, lookup: Callable, num_negatives: int, num_pois:
 
     def loss(q, table, bias, targets, mask, rng):
         B, T = targets.shape
-        neg = jax.random.randint(rng, (B, T, num_negatives), 0, num_pois)
+        from poi_tpu.train.losses import draw_bpr_negatives
+
+        neg = draw_bpr_negatives(rng, B, T, num_negatives, num_pois)
         bias2d = bias[:, None]  # lookup expects a [V, D] table
         e_pos = lookup(table, targets)  # [B, T, D]
         e_neg = lookup(table, neg.reshape(B, -1)).reshape(B, T, num_negatives, -1)
@@ -155,7 +157,9 @@ def make_sharded_sampled_softmax(
 
     def loss(q, table, bias, targets, mask, rng):
         B, T = targets.shape
-        neg = jax.random.randint(rng, (num_sampled,), 0, num_pois)
+        from poi_tpu.train.losses import draw_sampled_negatives
+
+        neg = draw_sampled_negatives(rng, num_sampled, num_pois)
         bias2d = bias[:, None]
         e_neg = rep_lookup(table, neg)  # [S, D]
         e_pos = lookup(table, targets)  # [B, T, D]

@@ -116,7 +116,16 @@ class Trainer:
             if loss_fn is None:
                 loss_fn = build_loss_fn(self.cfg.loss, self.dims.num_pois, self.cfg.model.embed_dim)
         self.loss_fn = loss_fn
-        self.optimizer = make_optimizer(self.cfg.train)
+        if self.cfg.train.table_update == "sparse":
+            from poi_tpu.train.sparse_opt import SparseTableOptimizer
+
+            self.optimizer = SparseTableOptimizer(self.cfg)
+        elif self.cfg.train.table_update == "dense":
+            self.optimizer = make_optimizer(self.cfg.train)
+        else:
+            raise ValueError(
+                f"unknown train.table_update {self.cfg.train.table_update!r}"
+            )
 
     # ------------------------------------------------------------------ init
     def init_state(self, seed: int | None = None) -> TrainState:
@@ -155,8 +164,16 @@ class Trainer:
                 return loss_fn(q, table, bias, batch.poi_tgt, batch.mask, rng)
 
             loss, grads = jax.value_and_grad(compute_loss)(state.params)
-            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
+            if cfg.train.table_update == "sparse":
+                from poi_tpu.train.sparse_opt import touched_ids
+
+                ids = touched_ids(cfg, batch, rng, self.dims.num_pois)
+                params, opt_state = optimizer.update_apply(
+                    grads, state.opt_state, state.params, ids
+                )
+            else:
+                updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
             from poi_tpu.train.state import lr_schedule
 
             # The two global norms are observability-only and cost two full

@@ -32,6 +32,18 @@ def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def draw_bpr_negatives(rng: jax.Array, B: int, T: int, num_negatives: int, num_pois: int) -> jax.Array:
+    """The BPR negative draw, shared by every loss implementation AND the
+    sparse table optimizer's touched-row computation (train/sparse_opt.py):
+    both must see the identical id set, so the draw lives in one place."""
+    return jax.random.randint(rng, (B, T, num_negatives), 0, num_pois)
+
+
+def draw_sampled_negatives(rng: jax.Array, num_sampled: int, num_pois: int) -> jax.Array:
+    """The shared sampled-softmax negative pool draw (see draw_bpr_negatives)."""
+    return jax.random.randint(rng, (num_sampled,), 0, num_pois)
+
+
 def full_logits(q: jax.Array, table: jax.Array, bias: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     """[.., D] x [V, D]^T → [.., V] in fp32 (bf16 operands, fp32 accumulate)."""
     return (
@@ -74,7 +86,7 @@ def bpr_loss(
     negatives (reference R5 pairing — BASELINE.json:8). Negatives are drawn
     uniformly; collisions with the positive are masked out of the mean."""
     B, T = targets.shape
-    neg = jax.random.randint(rng, (B, T, num_negatives), 0, num_pois)
+    neg = draw_bpr_negatives(rng, B, T, num_negatives, num_pois)
     e_pos = jnp.take(table, targets, axis=0)  # [B, T, D]
     e_neg = jnp.take(table, neg, axis=0)  # [B, T, N, D]
     s_pos = jnp.einsum("btd,btd->bt", q, e_pos, preferred_element_type=jnp.float32) + bias[targets]
@@ -104,7 +116,7 @@ def sampled_softmax_loss(
     Accidental hits (a negative equal to the row's positive) are masked.
     """
     B, T = targets.shape
-    neg = jax.random.randint(rng, (num_sampled,), 0, num_pois)  # shared pool
+    neg = draw_sampled_negatives(rng, num_sampled, num_pois)  # shared pool
     e_neg = jnp.take(table, neg, axis=0)  # [S, D]
     e_pos = jnp.take(table, targets, axis=0)  # [B, T, D]
     s_pos = jnp.einsum("btd,btd->bt", q, e_pos, preferred_element_type=jnp.float32) + bias[targets]

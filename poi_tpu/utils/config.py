@@ -109,6 +109,12 @@ class TrainConfig:
     lr_min_frac: float = 0.0
     grad_clip_norm: float = 1.0
     optimizer: str = "adam"  # adam | adagrad | sgd
+    # Embedding-table update strategy. "sparse" = touched-rows-only lazy Adam
+    # (train/sparse_opt.py): with a sampled objective, only inputs ∪ targets
+    # ∪ negatives (~70k of 1M rows at config #5) can carry gradient, so the
+    # dense Adam read-modify-write over every row is skipped. Requires
+    # optimizer=adam, weight_decay=0, loss ∈ {bpr, sampled_softmax}.
+    table_update: str = "dense"  # dense | sparse
     seed: int = 0
     # Train steps fused into one device dispatch (lax.scan over stacked
     # batches). Amortizes host dispatch latency; metrics stay per-step.

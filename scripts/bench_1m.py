@@ -74,23 +74,26 @@ def topk_qps(v=1_000_000, d=512, b=512, k=10, tile_v=2048) -> dict:
     }
 
 
-def train_seqs_per_sec() -> tuple[float, dict]:
-    """Config #5 training on one chip (mesh model=1), device-sampled batches."""
+def train_seqs_per_sec(table_update: str | None = None) -> tuple[float, dict]:
+    """Config #5 training on one chip (mesh model=1), device-sampled batches.
+    ``table_update`` overrides the preset's optimizer strategy (dense|sparse)
+    for A/B measurement; None keeps the preset (sparse since r5)."""
     import bench  # repo-root bench.py: reuse the honest-fence throughput timer
     from poi_tpu.configs.presets import get_config
     from poi_tpu.data.dataset import load_dataset
 
-    cfg = get_config("multihost_1m").with_overrides(
-        {
-            "mesh.model": "1",
-            "mesh.embedding_mode": "psum",
-            "data.num_users": "20000",  # enough active users for realistic ids
-            "data.mean_checkins_per_user": "50",
-            "train.steps_per_call": "10",
-            "data.sampler": "device",
-            "train.warmup_steps": "0",
-        }
-    )
+    over = {
+        "mesh.model": "1",
+        "mesh.embedding_mode": "psum",
+        "data.num_users": "20000",  # enough active users for realistic ids
+        "data.mean_checkins_per_user": "50",
+        "train.steps_per_call": "10",
+        "data.sampler": "device",
+        "train.warmup_steps": "0",
+    }
+    if table_update is not None:
+        over["train.table_update"] = table_update
+    cfg = get_config("multihost_1m").with_overrides(over)
     print("synthesizing 1M-POI dataset...", file=sys.stderr, flush=True)
     ds = load_dataset(cfg.data)
     print(
@@ -123,14 +126,21 @@ def train_seqs_per_sec() -> tuple[float, dict]:
 
 
 def main() -> int:
-    r = topk_qps()
-    print(
-        f"fused top-k @ V=1M D=512 B=512 k=10: {r['fused_qps']:,.0f} qps "
-        f"({r['fused_ms']:.2f} ms/batch; XLA dense+top_k oracle {r['oracle_ms']:.2f} ms "
-        f"-> {r['oracle_ms'] / r['fused_ms']:.1f}x)"
-    )
-    sps, stats = train_seqs_per_sec()
-    print(f"config#5 1-chip sampled-softmax training: {sps:,.1f} seq/s")
+    # args: [table_update] — "dense" / "sparse" (default: preset = sparse),
+    #       or "both" for the A/B; "--skip-topk" skips the QPS section.
+    args = [a for a in sys.argv[1:]]
+    if "--skip-topk" not in args:
+        r = topk_qps()
+        print(
+            f"fused top-k @ V=1M D=512 B=512 k=10: {r['fused_qps']:,.0f} qps "
+            f"({r['fused_ms']:.2f} ms/batch; XLA dense+top_k oracle {r['oracle_ms']:.2f} ms "
+            f"-> {r['oracle_ms'] / r['fused_ms']:.1f}x)"
+        )
+    modes = [a for a in args if a in ("dense", "sparse", "both")]
+    mode = modes[0] if modes else None
+    for tu in ("dense", "sparse") if mode == "both" else [mode]:
+        sps, stats = train_seqs_per_sec(tu)
+        print(f"config#5 1-chip sampled-softmax training ({tu or 'preset'}): {sps:,.1f} seq/s")
     if stats:
         print(f"HBM: {', '.join(f'{k}={v/2**30:.2f} GiB' for k, v in stats.items())}")
     else:
