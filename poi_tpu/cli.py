@@ -294,8 +294,7 @@ def run_recommend(cfg, input_path: str, k: int, exclude_visited: bool, step: int
 
 
 def run_serve(cfg, default_k: int = 10, step: int | None = None) -> int:
-    """Persistent serving loop (single-process; the multi-process serving
-    rig is exercised through ``recommend`` — tests/test_multihost.py).
+    """Persistent serving loop; works single- AND multi-process.
 
     Protocol: one JSON request per stdin line —
       ``[[{"poi": 1, "timestamp": 1000.0}, ...], ...]``                (bare)
@@ -307,6 +306,14 @@ def run_serve(cfg, default_k: int = 10, step: int | None = None) -> int:
     sustained cost is the measured ~27 µs/request marginal
     (BASELINE.md serving row), not the per-invocation restore+compile that
     ``recommend`` pays.
+
+    Multi-process (``jax.process_count() > 1`` — a vocab-sharded catalog
+    served warm, VERDICT r4 Missing #5): process 0 is the frontend (stdin/
+    stdout); the others loop as compute shards. Each ACCEPTED request is
+    announced with a one-word broadcast before the sharded ``recommend``
+    collectives run; malformed lines are answered locally by process 0 and
+    the shards never hear of them; EOF broadcasts a shutdown word. Covered
+    by the two-process gloo rig (tests/test_multihost.py).
     """
     import json
 
@@ -314,15 +321,27 @@ def run_serve(cfg, default_k: int = 10, step: int | None = None) -> int:
 
     from poi_tpu.eval.serve import Checkin, Recommender
 
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "serve loop is single-process; use `recommend` under the "
-            "multi-process launcher for sharded serving"
-        )
     log = logging.getLogger("poi_tpu.cli")
     ds, trainer, state = _restore_for_inference(cfg, step=step)
     rec = Recommender(trainer.model, state.params, cfg, ds, mesh=trainer.mesh)
-    log.info("serving (step %d): reading JSON requests from stdin", int(state.step))
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
+
+    if multiproc and not primary:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        n = 0
+        while int(multihost_utils.broadcast_one_to_all(np.zeros(1, np.int32))[0]):
+            rec.recommend(None)
+            n += 1
+        log.info("compute shard %d: served %d requests", jax.process_index(), n)
+        return 0
+
+    log.info(
+        "serving (step %d, %d process(es)): reading JSON requests from stdin",
+        int(state.step), jax.process_count(),
+    )
     served = 0
     for line in sys.stdin:
         line = line.strip()
@@ -337,16 +356,29 @@ def run_serve(cfg, default_k: int = 10, step: int | None = None) -> int:
                          lat=c.get("lat"), lon=c.get("lon")) for c in hist]
                 for hist in req["histories"]
             ]
-            out = rec.recommend(
-                histories,
-                k=int(req.get("k", default_k)),
-                user_ids=req.get("user_ids"),
-                exclude_visited=bool(req.get("exclude_visited", True)),
-            )
-            print(json.dumps({"ids": out.tolist()}), flush=True)
-            served += 1
+            k = int(req.get("k", default_k))
+            user_ids = req.get("user_ids")
+            exclude = bool(req.get("exclude_visited", True))
+            # Validate BEFORE announcing to the compute shards: a request
+            # that cannot featurize (e.g. empty history) must fail locally,
+            # not after the shards entered the collective rendezvous.
+            rec._featurize(histories)
         except Exception as e:  # malformed request: report, keep serving
             print(json.dumps({"error": f"{type(e).__name__}: {e}"}), flush=True)
+            continue
+        if multiproc:
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            multihost_utils.broadcast_one_to_all(np.ones(1, np.int32))
+        out = rec.recommend(histories, k=k, user_ids=user_ids, exclude_visited=exclude)
+        print(json.dumps({"ids": out.tolist()}), flush=True)
+        served += 1
+    if multiproc:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        multihost_utils.broadcast_one_to_all(np.zeros(1, np.int32))
     log.info("served %d requests", served)
     return 0
 

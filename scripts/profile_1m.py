@@ -57,9 +57,11 @@ def main():
     )
     sampler = DeviceSampler(ds.train, cfg.train.batch_size, cfg.train.seed)
     trainer = Trainer(cfg, dims, sampler=sampler)
-    state = trainer.init_state()
     model, loss_fn = trainer.model, trainer.loss_fn
-    params = state.params
+    # HBM budget at V=1M D=512: params ≈ 2.1 GiB and every extra full-tree
+    # (grads, m, v, the chained-harness perturbation copy) costs the same, so
+    # optimizer states are built/dropped per row instead of held together.
+    params = jax.jit(model.init)(jax.random.key(cfg.train.seed))
     dbatch = jax.jit(sampler.sample)(jnp.int32(0))
     rng = jax.random.key(0)
     q0 = jax.jit(lambda p, b: model.queries(p, b))(params, dbatch)
@@ -111,6 +113,33 @@ def main():
         g = jax.grad(f)(p)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(g)) * 1e-30
 
+    def null_body(p, _b):
+        return jnp.float32(0) * sum(
+            jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(p)
+        )
+
+    B, T = dbatch.poi_in.shape
+    n = 10  # V=1M bodies are 10s of ms; short chains keep windows ~1 s
+    print(
+        f"batch={B} T={T} V={dims.num_pois_padded} D={cfg.model.embed_dim} "
+        f"sampled={cfg.loss.num_sampled} heads={cfg.model.attn_heads} "
+        f"touched_ids={int(all_ids.shape[0])}",
+        flush=True,
+    )
+    t_null = chained(null_body, params, dbatch, n=n)
+    print(f"  harness null body       : {t_null*1e3:7.3f} ms (subtracted from rows)", flush=True)
+
+    def report(tag, t):
+        print(f"  {tag:24s}: {max(t - t_null, 0.0)*1e3:7.3f} ms", flush=True)
+
+    report("embed lookup fwd+bwd", chained(embed_fwdbwd, params, dbatch, n=n))
+    report("tower fwd", chained(tower_fwd, params, dbatch, n=n))
+    report("tower fwd+bwd", chained(tower_fwdbwd, params, dbatch, n=n))
+    report("loss fwd+bwd (fixed q)", chained(loss_fwdbwd, params, q0, dbatch.poi_tgt, dbatch.mask, n=n))
+    report("full grads fwd+bwd", chained(full_fwdbwd, params, dbatch, n=n))
+    report("dense-grad scatter alone", chained(table_scatter, params, dbatch, n=n))
+    del q0
+
     # Real-shaped gradients once, for the optimizer rows.
     grads = jax.jit(
         lambda p, b: jax.grad(
@@ -123,50 +152,29 @@ def main():
             )
         )(p)
     )(params, dbatch)
+    grads = jax.block_until_ready(grads)
 
     dense_opt = make_optimizer(cfg.train)
-    dense_state = dense_opt.init(params)
+    dense_state = jax.jit(dense_opt.init)(params)
 
     def opt_dense(p, _b):
         upd, _ = dense_opt.update(grads, dense_state, p)
         newp = optax.apply_updates(p, upd)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(newp)) * 1e-30
 
+    report("optimizer DENSE adam", chained(opt_dense, params, dbatch, n=n))
+    del dense_state  # free m+v (~4.2 GiB) before building the sparse state
+
     sparse_opt = SparseTableOptimizer(
         cfg.with_overrides({"train.table_update": "sparse"})
     )
-    sparse_state = sparse_opt.init(params)
+    sparse_state = jax.jit(sparse_opt.init)(params)
 
     def opt_sparse(p, _b):
         newp, _ = sparse_opt.update_apply(grads, sparse_state, p, ids)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(newp)) * 1e-30
 
-    def null_body(p, _b):
-        return jnp.float32(0) * sum(
-            jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(p)
-        )
-
-    B, T = dbatch.poi_in.shape
-    n = 10  # V=1M bodies are 10s of ms; short chains keep windows ~1 s
-    t_null = chained(null_body, params, dbatch, n=n)
-    raw = [
-        ("embed lookup fwd+bwd", chained(embed_fwdbwd, params, dbatch, n=n)),
-        ("tower fwd", chained(tower_fwd, params, dbatch, n=n)),
-        ("tower fwd+bwd", chained(tower_fwdbwd, params, dbatch, n=n)),
-        ("loss fwd+bwd (fixed q)", chained(loss_fwdbwd, params, q0, dbatch.poi_tgt, dbatch.mask, n=n)),
-        ("full grads fwd+bwd", chained(full_fwdbwd, params, dbatch, n=n)),
-        ("dense-grad scatter alone", chained(table_scatter, params, dbatch, n=n)),
-        ("optimizer DENSE adam", chained(opt_dense, params, dbatch, n=n)),
-        ("optimizer SPARSE adam", chained(opt_sparse, params, dbatch, n=n)),
-    ]
-    print(
-        f"batch={B} T={T} V={dims.num_pois_padded} D={cfg.model.embed_dim} "
-        f"sampled={cfg.loss.num_sampled} heads={cfg.model.attn_heads} "
-        f"touched_ids={int(all_ids.shape[0])}"
-    )
-    print(f"  harness null body       : {t_null*1e3:7.3f} ms (subtracted from rows)")
-    for tag, t in raw:
-        print(f"  {tag:24s}: {max(t - t_null, 0.0)*1e3:7.3f} ms")
+    report("optimizer SPARSE adam", chained(opt_sparse, params, dbatch, n=n))
 
 
 if __name__ == "__main__":

