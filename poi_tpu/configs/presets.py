@@ -184,6 +184,14 @@ register(
             mean_checkins_per_user=50,
             max_seq_len=64,
         ),
+        # attn_impl="blockwise" (replicated time axis) is a MEASURED choice,
+        # not a default: compiled-HLO wire traffic at these dims (T=64, W=16,
+        # D=512 — scripts/compare_attention_modes.py, BASELINE.md r5 table)
+        # is ~4-6 MB/device for blockwise vs 46-125 MB/device for ring/
+        # ulysses across model={2,4,8} — the SP modes' seq<->head resharding
+        # costs ~10-20x more ICI traffic than the whole attention block saves
+        # at check-in sequence lengths. ring/ulysses remain the long-context
+        # levers (per-device activation memory O(T/M)) for T >> 64.
         model=ModelConfig(
             kind="attention",
             embed_dim=512,
@@ -191,6 +199,7 @@ register(
             use_user_embedding=True,
             attn_window=16,
             attn_heads=8,
+            attn_impl="blockwise",
         ),
         loss=LossConfig(kind="sampled_softmax", num_sampled=4096),
         # table_update="sparse": touched-rows-only lazy Adam. Only ~70k of the

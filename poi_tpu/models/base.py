@@ -144,14 +144,24 @@ def init_embed_params(rng: jax.Array, cfg: ModelConfig, dims: DataDims) -> dict:
 
 
 def input_embeddings(
-    embed: dict, batch: Batch, cfg: ModelConfig, lookup: LookupFn = dense_lookup
+    embed: dict,
+    batch: Batch,
+    cfg: ModelConfig,
+    lookup: LookupFn = dense_lookup,
+    poi_rows: jax.Array | None = None,
 ) -> jax.Array:
     """Sum of POI + time + geo embeddings per input step → [B, T, D].
 
     Only the POI table goes through the (possibly sharded) ``lookup``; the
     small time/geo tables are replicated and use a local gather.
+
+    ``poi_rows`` ([B, T, D], = table[batch.poi_in]) substitutes for the POI
+    lookup when the caller pre-gathered the rows — the rows-gradient train
+    step (train/loop.py sparse mode) differentiates w.r.t. these rows so the
+    dense [V, D] table cotangent is never materialized; ``embed`` may then
+    omit the "poi" entry entirely.
     """
-    x = lookup(embed["poi"], batch.poi_in)
+    x = poi_rows if poi_rows is not None else lookup(embed["poi"], batch.poi_in)
     if cfg.use_time_embedding:
         x = x + jnp.take(embed["time"], batch.time_bucket, axis=0)
     if cfg.use_geo_embedding:
@@ -257,19 +267,26 @@ class SequenceModel:
             params["proj"] = init_linear(k_proj, self.cfg.hidden_dim, self.cfg.embed_dim)
         return params
 
-    def queries(self, params: dict, batch: Batch, rng: jax.Array | None = None) -> jax.Array:
+    def queries(
+        self,
+        params: dict,
+        batch: Batch,
+        rng: jax.Array | None = None,
+        poi_rows: jax.Array | None = None,
+    ) -> jax.Array:
         """[B, T, D] scoring queries (fp32). named_scope regions show up in
         profiler traces (SURVEY.md §5 tracing).
 
         ``rng`` enables train-mode dropout (``cfg.dropout``) on the summed
         input embeddings and the tower output; eval passes no rng and gets
-        the deterministic path.
+        the deterministic path. ``poi_rows`` pre-gathered input rows — see
+        ``input_embeddings``.
         """
         k_in = k_out = None
         if rng is not None and self.cfg.dropout > 0.0:
             k_in, k_out = jax.random.split(rng)
         with jax.named_scope("embed_lookup"):
-            x = input_embeddings(params["embed"], batch, self.cfg, self.lookup)
+            x = input_embeddings(params["embed"], batch, self.cfg, self.lookup, poi_rows)
             x = dropout(x, self.cfg.dropout, k_in)
         with jax.named_scope(f"tower_{self.cfg.kind}"):
             h = self.tower(params["tower"], x, batch)

@@ -149,6 +149,28 @@ class Trainer:
         cfg = self.cfg
         n_model = self.mesh.shape[mesh_lib.MODEL_AXIS]
         a2a_shards = n_model if (cfg.mesh.embedding_mode == "a2a" and n_model > 1) else 1
+        use_sparse = cfg.train.table_update == "sparse"
+        # Rows-gradient mode (the full VERDICT r4 Next #1 treatment): with a
+        # tied-table sampled-softmax objective on an unsharded vocab, the
+        # step differentiates w.r.t. the GATHERED table rows instead of the
+        # table — the dense [V, D] cotangent (zeros + scatter-add, measured
+        # ~11 ms alone at V=1M via scripts/profile_1m.py) never exists.
+        # Other sparse configs (bpr, vocab-sharded, untied) keep dense
+        # gradients and only the optimizer reads/writes turn sparse.
+        use_rows = (
+            use_sparse
+            and n_model == 1
+            and cfg.loss.kind == "sampled_softmax"
+            and cfg.model.tie_output_embedding
+        )
+        # Same fused-kernel dispatch contract as build_loss_fn.
+        _shapes_ok = cfg.loss.num_sampled >= 128 and cfg.model.embed_dim % 128 == 0
+        rows_fused = (
+            use_rows
+            and jax.default_backend() != "cpu"
+            and cfg.loss.impl != "xla"
+            and (_shapes_ok or cfg.loss.impl == "fused")
+        )
 
         def step_fn(state: TrainState, batch: Batch):
             rng = jax.random.fold_in(state.rng, state.step)
@@ -163,15 +185,21 @@ class Trainer:
                 table, bias = model_base.output_table(params, cfg.model)
                 return loss_fn(q, table, bias, batch.poi_tgt, batch.mask, rng)
 
-            loss, grads = jax.value_and_grad(compute_loss)(state.params)
-            if cfg.train.table_update == "sparse":
+            grad_norm_free = None  # exact global grad norm, when free
+            if use_rows:
+                loss, params, opt_state, grad_norm_free = self._rows_step(
+                    state, batch, rng, rng_drop, rows_fused
+                )
+            elif use_sparse:
                 from poi_tpu.train.sparse_opt import touched_ids
 
+                loss, grads = jax.value_and_grad(compute_loss)(state.params)
                 ids = touched_ids(cfg, batch, rng, self.dims.num_pois)
-                params, opt_state = optimizer.update_apply(
+                params, opt_state, grad_norm_free = optimizer.update_apply(
                     grads, state.opt_state, state.params, ids
                 )
             else:
+                loss, grads = jax.value_and_grad(compute_loss)(state.params)
                 updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
             from poi_tpu.train.state import lr_schedule
@@ -181,18 +209,27 @@ class Trainer:
             # the step). Every consumer (history rows, the log line) reads
             # them only on steps where (step+1) % log_every == 0, so they are
             # computed exactly there and reported 0.0 elsewhere (profiled:
-            # VERDICT r3 Next #3).
+            # VERDICT r3 Next #3). The sparse paths compute the grad norm for
+            # clipping anyway, so it is reported on every step there.
             # The final history row also reports norms even when num_steps is
             # not a multiple of log_every (ADVICE r4: it logged grad 0.000).
             is_log_step = ((state.step + 1) % max(1, cfg.train.log_every) == 0) | (
                 state.step + 1 == cfg.train.num_steps
             )
-            grad_norm, param_norm = jax.lax.cond(
-                is_log_step,
-                lambda: (optax.global_norm(grads).astype(jnp.float32),
-                         optax.global_norm(params).astype(jnp.float32)),
-                lambda: (jnp.float32(0.0), jnp.float32(0.0)),
-            )
+            if grad_norm_free is not None:
+                grad_norm = grad_norm_free.astype(jnp.float32)
+                param_norm = jax.lax.cond(
+                    is_log_step,
+                    lambda: optax.global_norm(params).astype(jnp.float32),
+                    lambda: jnp.float32(0.0),
+                )
+            else:
+                grad_norm, param_norm = jax.lax.cond(
+                    is_log_step,
+                    lambda: (optax.global_norm(grads).astype(jnp.float32),
+                             optax.global_norm(params).astype(jnp.float32)),
+                    lambda: (jnp.float32(0.0), jnp.float32(0.0)),
+                )
             metrics = {
                 "loss": loss,
                 "grad_norm": grad_norm,
@@ -218,6 +255,78 @@ class Trainer:
         if a2a_shards > 1:
             metric_keys["a2a_overflow"] = 0.0
         return step_fn, metric_keys
+
+    def _rows_step(self, state: TrainState, batch: Batch, rng, rng_drop, fused: bool):
+        """One rows-gradient train step body (traced inside step_fn).
+
+        Gathers every POI-table row the step can touch — inputs, targets,
+        and the shared negative pool — ONCE up front, then differentiates
+        w.r.t. those [N, D] rows (plus the bias rows and the non-table
+        params). The dense [V, D] table cotangent is never built; duplicate
+        occurrences are summed by the optimizer's ``dedup_sum`` exactly as
+        the dense scatter-add would have (identical updates to the
+        dense-grad sparse path — parity-tested in tests/test_sparse_opt.py).
+        """
+        from poi_tpu.train.losses import draw_sampled_negatives, sampled_nll_xla
+
+        cfg, model = self.cfg, self.model
+        B, T = batch.poi_tgt.shape
+        BT = B * T
+        S = cfg.loss.num_sampled
+        V = self.dims.num_pois
+        neg = draw_sampled_negatives(rng, S, V)
+        ids_all = jnp.concatenate(
+            [batch.poi_in.ravel(), batch.poi_tgt.ravel(), neg]
+        ).astype(jnp.int32)
+        table = state.params["embed"]["poi"]
+        bias = state.params["embed"]["out_bias"]
+        rows0 = jnp.take(table, ids_all, axis=0)  # [N, D]
+        brows0 = jnp.take(bias, ids_all, axis=0)  # [N]
+        rest = {
+            k: ({kk: vv for kk, vv in v.items() if kk not in ("poi", "out_bias")}
+                if k == "embed" else v)
+            for k, v in state.params.items()
+        }
+        logq = jnp.log(S / V)
+
+        def compute_loss(rest_p, rows, brows):
+            x_rows = rows[:BT].reshape(B, T, -1)
+            q = model.queries(rest_p, batch, rng=rng_drop, poi_rows=x_rows)
+            e_pos = rows[BT : 2 * BT].reshape(B, T, -1)
+            b_pos = brows[BT : 2 * BT].reshape(B, T)
+            e_neg = rows[2 * BT :]
+            b_neg = brows[2 * BT :]
+            s_pos = (
+                jnp.einsum("btd,btd->bt", q, e_pos, preferred_element_type=jnp.float32)
+                + b_pos
+            )
+            if fused:
+                from poi_tpu.ops.fused_sampled import sampled_nll_rows
+
+                nll = sampled_nll_rows(
+                    q.reshape(BT, -1), e_neg, b_neg - logq, s_pos.reshape(-1),
+                    (batch.poi_tgt.reshape(-1), neg),
+                ).reshape(B, T)
+            else:
+                nll = sampled_nll_xla(q, e_neg, b_neg, s_pos, batch.poi_tgt, neg, S, V)
+            m = batch.mask.astype(jnp.float32)
+            return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+        loss, (g_rest, g_rows, g_brows) = jax.value_and_grad(
+            compute_loss, argnums=(0, 1, 2)
+        )(rest, rows0, brows0)
+        # Rebuild a params-structured grads tree; the table leaves carry
+        # placeholders — their gradients travel as rows via row_grads.
+        g_embed = dict(g_rest["embed"])
+        g_embed["poi"] = jnp.zeros((), jnp.float32)
+        g_embed["out_bias"] = jnp.zeros((), jnp.float32)
+        grads = {**g_rest, "embed": g_embed}
+        ids = {"user": batch.user.ravel().astype(jnp.int32)}
+        params, opt_state, gnorm = self.optimizer.update_apply(
+            grads, state.opt_state, state.params, ids,
+            row_grads={"poi": (ids_all, g_rows), "out_bias": (ids_all, g_brows)},
+        )
+        return loss, params, opt_state, gnorm
 
     def _build_step(self, example_batch: Batch, num_steps: int = 1):
         """jit'd train step. ``num_steps > 1`` scans over a leading stack of

@@ -115,11 +115,36 @@ def sampled_softmax_loss(
     sampled objective is a consistent estimator of full softmax CE.
     Accidental hits (a negative equal to the row's positive) are masked.
     """
-    B, T = targets.shape
     neg = draw_sampled_negatives(rng, num_sampled, num_pois)  # shared pool
     e_neg = jnp.take(table, neg, axis=0)  # [S, D]
     e_pos = jnp.take(table, targets, axis=0)  # [B, T, D]
     s_pos = jnp.einsum("btd,btd->bt", q, e_pos, preferred_element_type=jnp.float32) + bias[targets]
+    nll = sampled_nll_xla(q, e_neg, bias[neg], s_pos, targets, neg, num_sampled, num_pois)
+    return _masked_mean(nll, mask)
+
+
+def sampled_nll_xla(
+    q: jax.Array,  # [B, T, D]
+    e_neg: jax.Array,  # [S, D]
+    b_neg: jax.Array,  # [S] raw negative biases (logQ applied here)
+    s_pos: jax.Array,  # [B, T]
+    targets: jax.Array,  # [B, T]
+    neg: jax.Array,  # [S]
+    num_sampled: int,
+    num_pois: int,
+) -> jax.Array:
+    """[B, T] per-position sampled-softmax NLL from pre-gathered rows — the
+    XLA counterpart of ``ops.fused_sampled.sampled_nll_rows`` and the shared
+    core of ``sampled_softmax_loss`` and the rows-gradient train step
+    (train/loop.py sparse mode).
+
+    logQ correction: uniform sampling w/ replacement, E[count_j] = S/V.
+    Accidental hits (negative == row's positive) are masked in the same
+    fused elementwise pass. The combined log-sum-exp is computed as
+    logaddexp(LSE(s_neg), s_pos) — identical to LSE([s_pos | s_neg]) but
+    without materializing the [B, T, 1+S] concatenation (134 MB at config
+    #4's B=256: the concat copy and its backward were pure HBM traffic).
+    """
     s_neg = (
         jnp.einsum(
             "btd,sd->bts",
@@ -127,18 +152,11 @@ def sampled_softmax_loss(
             e_neg.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
-        + bias[neg]
+        + b_neg
     )
-    # logQ correction: uniform sampling w/ replacement, E[count_j] = S/V.
-    # Accidental hits (negative == row's positive) are masked in the same
-    # fused elementwise pass. The combined log-sum-exp is computed as
-    # logaddexp(LSE(s_neg), s_pos) — identical to LSE([s_pos | s_neg]) but
-    # without materializing the [B, T, 1+S] concatenation (134 MB at config
-    # #4's B=256: the concat copy and its backward were pure HBM traffic).
     hit = neg[None, None, :] == targets[..., None]
     s_neg = jnp.where(hit, -1e30, s_neg - jnp.log(num_sampled / num_pois))
-    nll = jnp.logaddexp(jax.nn.logsumexp(s_neg, axis=-1), s_pos) - s_pos
-    return _masked_mean(nll, mask)
+    return jnp.logaddexp(jax.nn.logsumexp(s_neg, axis=-1), s_pos) - s_pos
 
 
 # Catalogs below this size don't benefit from chunking — dense CE is fine.

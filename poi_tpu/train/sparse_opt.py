@@ -98,13 +98,43 @@ def touched_ids(cfg: Config, batch, rng: jax.Array, num_pois: int) -> dict[str, 
     return ids
 
 
-def dedup_ids(ids: jax.Array, oob: int) -> jax.Array:
-    """Sort ids and replace duplicates with the out-of-bounds sentinel ``oob``
-    so each unique id appears exactly once. Static [N] shape; sentinel rows
-    fill 0 on gather and drop on scatter."""
-    s = jnp.sort(ids)
+def _compact_unique(s: jax.Array, oob: int) -> tuple[jax.Array, jax.Array]:
+    """From SORTED ids ``s``: (compacted unique-id vector, segment index).
+
+    The result places the unique ids first (ascending) and fills the tail
+    with DISTINCT out-of-bounds sentinels ``oob + j`` — so the whole vector
+    is strictly sorted with no duplicates, and every downstream gather/
+    scatter can legally assert ``unique_indices`` + ``indices_are_sorted``
+    (without those hints the TPU scatter lowering serializes combining and
+    dominated the update — measured 2x slower than dense Adam before this).
+    """
+    n = s.shape[0]
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-    return jnp.where(first, s, oob)
+    seg = jnp.cumsum(first) - 1
+    pad = oob + jnp.arange(n, dtype=s.dtype)
+    return pad.at[seg].set(s), seg
+
+
+def dedup_ids(ids: jax.Array, oob: int) -> jax.Array:
+    """Compacted strictly-sorted unique ids: uniques first (ascending), then
+    distinct out-of-bounds sentinels (fill 0 on gather, drop on scatter)."""
+    u, _ = _compact_unique(jnp.sort(ids), oob)
+    return u
+
+
+def dedup_sum(ids: jax.Array, g: jax.Array, oob: int) -> tuple[jax.Array, jax.Array]:
+    """(compacted unique ids, per-unique-id summed row grads).
+
+    The rows-gradient step (Stage B) yields one gradient row per id
+    OCCURRENCE; Adam needs one summed gradient per unique row — exactly what
+    the dense scatter-add would have produced, computed here on [N, D]
+    instead of [V, D]. Static shapes: tail positions beyond the unique count
+    keep zero grads and distinct out-of-bounds sentinels."""
+    order = jnp.argsort(ids)
+    s = ids[order]
+    uids, seg = _compact_unique(s, oob)
+    g_sum = jax.ops.segment_sum(g[order], seg, num_segments=ids.shape[0])
+    return uids, g_sum
 
 
 def _is_table(path: tuple, leaf) -> str | None:
@@ -138,20 +168,52 @@ class SparseTableOptimizer:
         )
 
     def update_apply(
-        self, grads: Any, state: SparseAdamState, params: Any, ids: dict[str, jax.Array]
-    ) -> tuple[Any, SparseAdamState]:
+        self,
+        grads: Any,
+        state: SparseAdamState,
+        params: Any,
+        ids: dict[str, jax.Array],
+        row_grads: dict[str, tuple[jax.Array, jax.Array]] | None = None,
+    ) -> tuple[Any, SparseAdamState, jax.Array]:
+        """Apply the update; returns (new_params, new_state, grad_norm).
+
+        Two gradient representations per table, by embed-key:
+        - default: ``grads`` holds the DENSE [V, ...] gradient; touched rows
+          are gathered at the deduped ``ids`` (duplicates already summed by
+          the autodiff scatter-add).
+        - ``row_grads[key] = (occurrence_ids, per-occurrence rows)``: the
+          rows-gradient step (Stage B) never materialized the dense
+          gradient; duplicates are summed here via ``dedup_sum`` and the
+          corresponding ``grads`` leaf is a placeholder (ignored).
+
+        ``grad_norm`` is the exact global norm of the mathematical gradient
+        (dense leaves in full, table leaves from their touched rows) — the
+        same quantity optax.global_norm reports on the dense path; it is
+        computed for clipping anyway, so callers get it for free.
+        """
         b1, b2, eps = self.b1, self.b2, self.eps
+        row_grads = row_grads or {}
         uids = {k: None for k in ids}  # deduped lazily, once per id set
 
         def table_rows(path, g):
-            """(uids, gathered rows) for table leaves, None for dense ones."""
+            """(uids, summed unique-row grads) for table leaves, else None."""
             src = _is_table(path, g)
-            if src is None or src not in ids:
+            if src is None:
+                return None
+            keys = [p.key for p in path if hasattr(p, "key")]
+            if keys[1] in row_grads:
+                occ_ids, occ_rows = row_grads[keys[1]]
+                oob = params["embed"][keys[1]].shape[0]
+                return dedup_sum(occ_ids, occ_rows, oob)
+            if src not in ids:
                 return None
             if uids[src] is None:
                 uids[src] = dedup_ids(ids[src], g.shape[0])
             u = uids[src]
-            return u, g.at[u].get(mode="fill", fill_value=0.0)
+            return u, g.at[u].get(
+                mode="fill", fill_value=0.0,
+                unique_indices=True, indices_are_sorted=True,
+            )
 
         paths_grads = jax.tree_util.tree_flatten_with_path(grads)[0]
         rows = {path: table_rows(path, g) for path, g in paths_grads}
@@ -183,16 +245,17 @@ class SparseTableOptimizer:
                 step = lr_t * (m_n / bc1) / (jnp.sqrt(v_n / bc2) + eps)
                 return p - step, m_n, v_n
             u, g_u = r
+            hint = dict(unique_indices=True, indices_are_sorted=True)
             g_u = g_u * scale
-            m_u = m.at[u].get(mode="fill", fill_value=0.0)
-            v_u = v.at[u].get(mode="fill", fill_value=0.0)
+            m_u = m.at[u].get(mode="fill", fill_value=0.0, **hint)
+            v_u = v.at[u].get(mode="fill", fill_value=0.0, **hint)
             m_n = b1 * m_u + (1 - b1) * g_u
             v_n = b2 * v_u + (1 - b2) * jnp.square(g_u)
             step = (lr_t * (m_n / bc1) / (jnp.sqrt(v_n / bc2) + eps)).astype(p.dtype)
             return (
-                p.at[u].add(-step, mode="drop"),
-                m.at[u].set(m_n, mode="drop"),
-                v.at[u].set(v_n, mode="drop"),
+                p.at[u].add(-step, mode="drop", **hint),
+                m.at[u].set(m_n, mode="drop", **hint),
+                v.at[u].set(v_n, mode="drop", **hint),
             )
 
         flat_p, treedef = jax.tree_util.tree_flatten_with_path(params)
@@ -207,4 +270,4 @@ class SparseTableOptimizer:
         new_p = unflatten([o[0] for o in out])
         new_m = unflatten([o[1] for o in out])
         new_v = unflatten([o[2] for o in out])
-        return new_p, SparseAdamState(count=count, m=new_m, v=new_v)
+        return new_p, SparseAdamState(count=count, m=new_m, v=new_v), gnorm

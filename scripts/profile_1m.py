@@ -135,10 +135,79 @@ def main():
     report("embed lookup fwd+bwd", chained(embed_fwdbwd, params, dbatch, n=n))
     report("tower fwd", chained(tower_fwd, params, dbatch, n=n))
     report("tower fwd+bwd", chained(tower_fwdbwd, params, dbatch, n=n))
+
+    # Tower sub-regions on a fixed hidden-state tensor: where does the tower
+    # backward time actually go (gru recurrence vs attention+LN vs the
+    # input-embedding scatter)?
+    from poi_tpu.models.attention import layer_norm
+    from poi_tpu.ops.attention import multihead_attention
+
+    h0 = jnp.asarray(q0)  # [B, T, D] stand-in hidden states
+
+    def mha_ln_fwdbwd(p, h):
+        def f(hh):
+            o = multihead_attention(
+                hh, p["tower"]["mha"], num_heads=cfg.model.attn_heads,
+                window=cfg.model.attn_window,
+            )
+            return jnp.sum(layer_norm(p["tower"]["ln"], hh + o))
+
+        return jnp.sum(jax.grad(f)(h).astype(jnp.float32)) * 1e-30
+
+    report("mha+ln fwd+bwd (fixed h)", chained(mha_ln_fwdbwd, params, h0, n=n))
+
+    # Rows-mode gradient region (Stage B): same loss, differentiated w.r.t.
+    # the gathered rows — no dense [V, D] cotangent.
+    from poi_tpu.train.losses import draw_sampled_negatives
+
+    S = cfg.loss.num_sampled
+    V = dims.num_pois
+    neg0 = draw_sampled_negatives(rng, S, V)
+    B_, T_ = dbatch.poi_in.shape
+    BT = B_ * T_
+    ids_all = jnp.concatenate(
+        [dbatch.poi_in.ravel(), dbatch.poi_tgt.ravel(), neg0]
+    ).astype(jnp.int32)
+    logq = jnp.log(S / V)
+
+    def rows_grads_body(p, b):
+        from poi_tpu.ops.fused_sampled import sampled_nll_rows
+
+        rows0 = jnp.take(p["embed"]["poi"], ids_all, axis=0)
+        brows0 = jnp.take(p["embed"]["out_bias"], ids_all, axis=0)
+        rest = {
+            k: ({kk: vv for kk, vv in v.items() if kk not in ("poi", "out_bias")}
+                if k == "embed" else v)
+            for k, v in p.items()
+        }
+
+        def f(rest_p, rows, brows):
+            x_rows = rows[:BT].reshape(B_, T_, -1)
+            q = model.queries(rest_p, b, poi_rows=x_rows)
+            e_pos = rows[BT: 2 * BT].reshape(B_, T_, -1)
+            b_pos = brows[BT: 2 * BT].reshape(B_, T_)
+            s_pos = (
+                jnp.einsum("btd,btd->bt", q, e_pos, preferred_element_type=jnp.float32)
+                + b_pos
+            )
+            nll = sampled_nll_rows(
+                q.reshape(BT, -1), rows[2 * BT:], brows[2 * BT:] - logq,
+                s_pos.reshape(-1), (b.poi_tgt.reshape(-1), neg0),
+            )
+            m = b.mask.reshape(-1)
+            return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+        l, gs = jax.value_and_grad(f, argnums=(0, 1, 2))(rest, rows0, brows0)
+        return l + sum(
+            jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(gs)
+        ) * 1e-30
+
+    report("ROWS-mode grads fwd+bwd", chained(rows_grads_body, params, dbatch, n=n))
+
     report("loss fwd+bwd (fixed q)", chained(loss_fwdbwd, params, q0, dbatch.poi_tgt, dbatch.mask, n=n))
     report("full grads fwd+bwd", chained(full_fwdbwd, params, dbatch, n=n))
     report("dense-grad scatter alone", chained(table_scatter, params, dbatch, n=n))
-    del q0
+    del q0, h0
 
     # Real-shaped gradients once, for the optimizer rows.
     grads = jax.jit(
@@ -154,15 +223,17 @@ def main():
     )(params, dbatch)
     grads = jax.block_until_ready(grads)
 
+    # grads/opt-state ride as jit ARGUMENTS (device buffers): captured in a
+    # closure they lower as 6+ GB of embedded constants through the tunnel.
     dense_opt = make_optimizer(cfg.train)
     dense_state = jax.jit(dense_opt.init)(params)
 
-    def opt_dense(p, _b):
-        upd, _ = dense_opt.update(grads, dense_state, p)
+    def opt_dense(p, g, st):
+        upd, _ = dense_opt.update(g, st, p)
         newp = optax.apply_updates(p, upd)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(newp)) * 1e-30
 
-    report("optimizer DENSE adam", chained(opt_dense, params, dbatch, n=n))
+    report("optimizer DENSE adam", chained(opt_dense, params, grads, dense_state, n=n))
     del dense_state  # free m+v (~4.2 GiB) before building the sparse state
 
     sparse_opt = SparseTableOptimizer(
@@ -170,11 +241,11 @@ def main():
     )
     sparse_state = jax.jit(sparse_opt.init)(params)
 
-    def opt_sparse(p, _b):
-        newp, _ = sparse_opt.update_apply(grads, sparse_state, p, ids)
+    def opt_sparse(p, g, st):
+        newp, _, _ = sparse_opt.update_apply(g, st, p, ids)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(newp)) * 1e-30
 
-    report("optimizer SPARSE adam", chained(opt_sparse, params, dbatch, n=n))
+    report("optimizer SPARSE adam", chained(opt_sparse, params, grads, sparse_state, n=n))
 
 
 if __name__ == "__main__":

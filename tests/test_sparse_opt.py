@@ -44,9 +44,10 @@ def _sparse_cfg(**over):
 def test_dedup_ids():
     ids = jnp.array([3, 1, 3, 7, 1, 1], jnp.int32)
     u = np.asarray(dedup_ids(ids, 100))
-    kept = sorted(x for x in u if x < 100)
-    assert kept == [1, 3, 7]
-    assert (u == 100).sum() == 3
+    kept = [x for x in u if x < 100]
+    assert kept == [1, 3, 7]  # compacted, ascending
+    assert (u >= 100).sum() == 3 and len(set(u.tolist())) == len(u)  # distinct OOB tail
+    assert (np.diff(u) > 0).all()  # strictly sorted throughout
 
 
 def test_all_rows_touched_matches_dense_adam():
@@ -83,7 +84,7 @@ def test_all_rows_touched_matches_dense_adam():
     }
     for step in range(4):
         grads = jax.tree.map(lambda x: jnp.asarray(rng.normal(size=x.shape), x.dtype), params)
-        p_s, st_s = jax.jit(sparse.update_apply)(grads, st_s, p_s, ids)
+        p_s, st_s, gnorm = jax.jit(sparse.update_apply)(grads, st_s, p_s, ids)
         upd, st_d = dense.update(grads, st_d, p_d)
         p_d = optax.apply_updates(p_d, upd)
     for a, b in zip(jax.tree.leaves(p_s), jax.tree.leaves(p_d)):
@@ -120,6 +121,43 @@ def test_untouched_rows_have_zero_grad(loss_kind):
         assert untouched_norm == 0.0, f"{key}: grad leaked outside touched rows"
         # ...and the touched set is not trivially everything.
         assert (~touched).any(), f"{key}: test vacuous, all rows touched"
+
+
+def test_rows_mode_matches_dense_grad_path():
+    """Stage B (rows gradients — the dense [V, D] cotangent never exists)
+    must produce the same update as the dense-grad sparse path: same touched
+    set, same per-unique-row summed gradients, same lazy Adam."""
+    from poi_tpu.data.pipeline import TrainLoader
+    from poi_tpu.models import base as model_base
+
+    cfg = _sparse_cfg()  # sampled_softmax + tied table + model axis 1 → rows mode
+    ds = load_dataset(cfg.data)
+    trainer = Trainer(cfg, DataDims.from_dataset(ds))
+    state = trainer.init_state()
+    loader = TrainLoader(ds.train, batch_size=cfg.train.batch_size, seed=0)
+    batch = trainer._put_batch(next(loader))
+    loader.close()
+
+    step_fn, _ = trainer._step_core()
+    new_state, metrics = jax.jit(step_fn)(state, batch)  # rows-mode step
+
+    # Reference: dense autodiff grads + the dense-gather sparse update.
+    rng = jax.random.fold_in(state.rng, state.step)
+
+    def compute_loss(params):
+        q = trainer.model.queries(params, batch, rng=None)
+        table, bias = model_base.output_table(params, cfg.model)
+        return trainer.loss_fn(q, table, bias, batch.poi_tgt, batch.mask, rng)
+
+    loss_ref, grads = jax.value_and_grad(compute_loss)(state.params)
+    ids = touched_ids(cfg, batch, rng, trainer.dims.num_pois)
+    p_ref, _, gn_ref = trainer.optimizer.update_apply(
+        grads, state.opt_state, state.params, ids
+    )
+    assert abs(float(metrics["loss"]) - float(loss_ref)) < 1e-5
+    assert abs(float(metrics["grad_norm"]) - float(gn_ref)) < 1e-4 * max(1.0, float(gn_ref))
+    for a, b in zip(jax.tree.leaves(new_state.params), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=2e-5)
 
 
 def test_sparse_training_learns():
