@@ -139,6 +139,7 @@ def test_fault_inject_then_resume(setup, tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_eval_and_recommend_by_step(setup, tmp_path, capsys):
     """`--step N` restores a SPECIFIC checkpoint, not the latest (checkpointed
     eval by step — SURVEY.md §5)."""

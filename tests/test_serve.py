@@ -319,6 +319,7 @@ def test_featurize_matches_scalar_oracle(setup):
     np.testing.assert_allclose(got.dist_frac, df.astype(np.float32), atol=0)
 
 
+@pytest.mark.slow
 def test_cli_serve_loop(tmp_path):
     """`poi_tpu serve`: train a checkpoint, then stream 3 JSON requests
     (bare list, full object, malformed) through one warm process."""

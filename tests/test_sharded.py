@@ -53,6 +53,7 @@ def test_a2a_lookup_equals_dense(mesh_name, request):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_a2a_lookup_skewed_ids(mesh42):
     """All ids on one owner shard — worst-case routing skew still exact with
     adequate capacity."""
@@ -64,6 +65,7 @@ def test_a2a_lookup_skewed_ids(mesh42):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lookup_grads_match_dense(mesh42):
     rng = np.random.default_rng(3)
     table = _table(rng)
@@ -203,6 +205,7 @@ def test_sharded_sampled_softmax_equals_dense(mesh42):
     np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_losses_grads_finite(mesh42):
     from poi_tpu.ops import embedding as emb_mod
     from poi_tpu.ops.sharded_loss import make_sharded_bpr, make_sharded_sampled_softmax
@@ -261,6 +264,7 @@ def test_overflow_fraction_data_shard_granularity():
     assert float(f3) == 0.0
 
 
+@pytest.mark.slow
 def test_sharded_fused_sampled_softmax_equals_dense(mesh42):
     """The fused-kernel route of the sharded sampled softmax (Pallas under
     shard_map, interpret mode on the fake mesh): value AND grads must match

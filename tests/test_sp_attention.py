@@ -47,6 +47,7 @@ def test_sp_equals_local(impl, mesh24, setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("impl", ["ring", "ulysses"])
 def test_sp_grads_match_local(impl, mesh24, setup):
     x, p = setup

@@ -123,6 +123,7 @@ def test_untouched_rows_have_zero_grad(loss_kind):
         assert (~touched).any(), f"{key}: test vacuous, all rows touched"
 
 
+@pytest.mark.slow
 def test_rows_mode_matches_dense_grad_path():
     """Stage B (rows gradients — the dense [V, D] cotangent never exists)
     must produce the same update as the dense-grad sparse path: same touched
