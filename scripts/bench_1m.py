@@ -82,6 +82,8 @@ def train_seqs_per_sec(table_update: str | None = None) -> tuple[float, dict]:
     from poi_tpu.configs.presets import get_config
     from poi_tpu.data.dataset import load_dataset
 
+    import os
+
     over = {
         "mesh.model": "1",
         "mesh.embedding_mode": "psum",
@@ -93,6 +95,8 @@ def train_seqs_per_sec(table_update: str | None = None) -> tuple[float, dict]:
     }
     if table_update is not None:
         over["train.table_update"] = table_update
+    if os.environ.get("BENCH_1M_BATCH"):
+        over["train.batch_size"] = os.environ["BENCH_1M_BATCH"]
     cfg = get_config("multihost_1m").with_overrides(over)
     print("synthesizing 1M-POI dataset...", file=sys.stderr, flush=True)
     ds = load_dataset(cfg.data)
