@@ -80,7 +80,12 @@ register(
 # r@10 0.3658/0.3740/0.3755/0.3837/0.3824 — peak at 32): BPR's gradient
 # quality scales with negatives and the pairwise logits are so cheap that
 # throughput barely moves. Other knobs held: cosine LR ties (val 0.3665),
-# lr 2e-3 hurts (0.3581).
+# lr 2e-3 hurts (0.3581). r5 ceiling probe (full budget, val split): 256-d
+# loses (val 0.3800), max_seq_len=128 loses (0.3816), and dropping time/geo
+# features loses (0.3777) vs the preset's 0.3837 — the remaining gap to the
+# other presets' floor multipliers is the BPR objective itself (pairwise
+# ranking optimizes recall@k less directly than the softmax family), not an
+# untuned knob; documented as the ceiling.
 register(
     Config(
         name="lstm_bpr_foursquare",
