@@ -169,6 +169,22 @@ def run_train(
         from poi_tpu.train.selection import BestOnVal
 
         tracker = BestOnVal(trainer, ds, cfg)
+        if ckpt is not None:
+            # Resuming a directory with a persisted selection: seed the
+            # tracker so a worse later-segment val peak can never overwrite
+            # the better earlier one (the selected manager keeps one step).
+            info = ckpt.selected_info()
+            if info and info.get("metric") == tracker.metric and info.get("score") is not None:
+                from poi_tpu.parallel.shardings import state_shardings
+                from poi_tpu.utils.checkpoint import abstract_like
+
+                sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
+                sel = ckpt.restore_selected(abstract_like(state, sh).params)
+                tracker.seed(info["step"], float(info["score"]), jax.device_get(sel))
+                log.info(
+                    "seeded selection from %s: step %d %s=%.4f",
+                    "selected/", info["step"], info["metric"], float(info["score"]),
+                )
 
     def callback(step, st, m):
         pw.step(step)
@@ -228,7 +244,10 @@ def run_train(
                 loader_state=_loader_state_at(int(state.step)), config_json=cfg.to_json(),
             )
         if tracker is not None and tracker.best_step >= 0:
-            ckpt.save_selected(tracker.best_step, eval_params)
+            ckpt.save_selected(
+                tracker.best_step, eval_params,
+                metric=tracker.metric, score=tracker.best_score,
+            )
         ckpt.wait()
         ckpt.close()
     metrics.close()
@@ -356,13 +375,25 @@ def run_serve(cfg, default_k: int = 10, step: int | None = None) -> int:
                          lat=c.get("lat"), lon=c.get("lon")) for c in hist]
                 for hist in req["histories"]
             ]
+            if not histories:
+                raise ValueError("empty request: no histories")
             k = int(req.get("k", default_k))
             user_ids = req.get("user_ids")
+            if user_ids is not None:
+                import numpy as np
+
+                user_ids = np.asarray(user_ids, np.int32)  # raises on junk
+                if len(user_ids) != len(histories):
+                    raise ValueError(
+                        f"user_ids length {len(user_ids)} != {len(histories)} histories"
+                    )
             exclude = bool(req.get("exclude_visited", True))
-            # Validate BEFORE announcing to the compute shards: a request
-            # that cannot featurize (e.g. empty history) must fail locally,
-            # not after the shards entered the collective rendezvous.
-            rec._featurize(histories)
+            if multiproc:
+                # Validate the whole request BEFORE announcing to the
+                # compute shards: anything that fails after the broadcast
+                # leaves them mid-collective (unrecoverable), so the accept
+                # word must only follow a request recommend() will take.
+                rec._featurize(histories)
         except Exception as e:  # malformed request: report, keep serving
             print(json.dumps({"error": f"{type(e).__name__}: {e}"}), flush=True)
             continue
@@ -371,7 +402,18 @@ def run_serve(cfg, default_k: int = 10, step: int | None = None) -> int:
             from jax.experimental import multihost_utils
 
             multihost_utils.broadcast_one_to_all(np.ones(1, np.int32))
-        out = rec.recommend(histories, k=k, user_ids=user_ids, exclude_visited=exclude)
+            # Past this point an exception cannot be swallowed: the shards
+            # have entered the request's collectives, so a failure here is a
+            # desync — die loudly rather than serve from a broken state.
+            out = rec.recommend(histories, k=k, user_ids=user_ids, exclude_visited=exclude)
+        else:
+            try:
+                out = rec.recommend(
+                    histories, k=k, user_ids=user_ids, exclude_visited=exclude
+                )
+            except Exception as e:  # a bad request never kills the server
+                print(json.dumps({"error": f"{type(e).__name__}: {e}"}), flush=True)
+                continue
         print(json.dumps({"ids": out.tolist()}), flush=True)
         served += 1
     if multiproc:

@@ -319,10 +319,11 @@ class SequenceModel:
             h = self.tower_last(params["tower"], x, batch, last)
         with jax.named_scope("query_proj"):
             q = linear(params["proj"], h, compute_dtype(self.cfg)) if "proj" in params else h
-            q = q.astype(jnp.float32)
-            if self.cfg.use_user_embedding:
-                q = q + jnp.take(params["embed"]["user"], batch.user, axis=0)
-            return q
+            # One user-add implementation: route through the shared helper
+            # (which works on [B, T, D]) with a singleton time axis.
+            return add_user_query(
+                q.astype(jnp.float32)[:, None, :], params, batch, self.cfg
+            )[:, 0]
 
 
 def scan_time_major(

@@ -59,6 +59,14 @@ class BestOnVal:
         self._host_params = None
         self.history: list[dict] = []
 
+    def seed(self, step: int, score: float, host_params) -> None:
+        """Adopt a previously-persisted selection as the incumbent best —
+        used when resuming a directory whose earlier run already selected
+        params, so a worse later-segment peak never overwrites it."""
+        self.best_step = step
+        self.best_score = score
+        self._host_params = host_params
+
     def __call__(self, step: int, state, metrics) -> None:
         if step % self.every:
             return

@@ -29,6 +29,16 @@ def lr_schedule(cfg: TrainConfig):
         if warmup > cfg.num_steps // 2:
             if warmup == TrainConfig.warmup_steps:
                 warmup = cfg.num_steps // 10
+                # Visible, because the default value is indistinguishable
+                # from an explicit --set train.warmup_steps=100: anyone who
+                # meant the long warmup sees what actually ran.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "warmup_steps=%d (the default) exceeds half of "
+                    "num_steps=%d; clamping warmup to %d",
+                    cfg.warmup_steps, cfg.num_steps, warmup,
+                )
             else:
                 raise ValueError(
                     f"train.warmup_steps={cfg.warmup_steps} exceeds half the "

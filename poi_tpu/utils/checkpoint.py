@@ -33,6 +33,7 @@ class CheckpointManager:
             enable_async_checkpointing=async_save,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self._async_save = async_save
         self._sel_mgr: ocp.CheckpointManager | None = None
 
     # ------------------------------------------------------------------ save
@@ -67,20 +68,48 @@ class CheckpointManager:
         if self._sel_mgr is None:
             self._sel_mgr = ocp.CheckpointManager(
                 os.path.join(self.directory, "selected"),
-                options=ocp.CheckpointManagerOptions(max_to_keep=1),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1,
+                    # Honor the manager's sync/async choice: a synchronous
+                    # manager must not leave an async-selected-write window
+                    # where the final step exists but the selection does not.
+                    enable_async_checkpointing=self._async_save,
+                ),
             )
         return self._sel_mgr
 
-    def save_selected(self, step: int, params: Any) -> None:
-        """Persist the best-on-val params under their own step number."""
+    def save_selected(
+        self, step: int, params: Any, metric: str | None = None, score: float | None = None
+    ) -> None:
+        """Persist the best-on-val params under their own step number, with
+        the selection metric/score so a resumed run can seed its tracker and
+        never overwrite a better previous selection."""
         self._selected_mgr().save(
-            step, args=ocp.args.Composite(params=ocp.args.StandardSave(params))
+            step,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardSave(params),
+                extra=ocp.args.JsonSave({"metric": metric, "score": score}),
+            ),
         )
 
     def selected_step(self) -> int | None:
         if not os.path.isdir(os.path.join(self.directory, "selected")):
             return None
         return self._selected_mgr().latest_step()
+
+    def selected_info(self) -> dict | None:
+        """{'step', 'metric', 'score'} of the persisted selection, or None."""
+        step = self.selected_step()
+        if step is None:
+            return None
+        try:
+            restored = self._selected_mgr().restore(
+                step, args=ocp.args.Composite(extra=ocp.args.JsonRestore())
+            )
+            extra = restored.get("extra") or {}
+        except Exception:  # pre-r5 selected checkpoints carry no extra item
+            extra = {}
+        return {"step": step, **extra}
 
     def restore_selected(self, abstract_params: Any) -> Any:
         step = self.selected_step()

@@ -88,7 +88,7 @@ def test_selected_params_persisted_and_preferred_for_inference(tmp_path, monkeyp
     def rigged(self, step, state, metrics):
         orig_call(self, step, state, metrics)
         if step == 20:
-            self.best_score = float("inf")
+            self.best_score = 2.0  # > any real recall; JSON-safe (inf is not)
             self.best_step = 20
             self._host_params = jax.device_get(state.params)
             captured["params"] = self._host_params
@@ -127,3 +127,16 @@ def test_selected_params_persisted_and_preferred_for_inference(tmp_path, monkeyp
     # An explicit --step request bypasses the selection overlay.
     _, _, stepped = _restore_for_inference(cfg, step=60)
     assert_trees_equal(got, jax.device_get(stepped.params))
+
+    # Resume with a LARGER budget: the new run's val peaks are finite, the
+    # seeded incumbent is 2.0 (> any recall), so the persisted selection must survive —
+    # a worse later segment can never overwrite a better earlier one.
+    monkeypatch.setattr(BestOnVal, "__call__", orig_call)
+    cfg2 = cfg.with_overrides({"train.num_steps": "120"})
+    assert run_train(cfg2) == 0
+    ckpt2 = CheckpointManager(cfg.checkpoint.directory)
+    info = ckpt2.selected_info()
+    ckpt2.close()
+    assert info["step"] == 20 and info["score"] == 2.0
+    _, _, inf2 = _restore_for_inference(cfg2)
+    assert_trees_equal(captured["params"], jax.device_get(inf2.params))

@@ -342,6 +342,10 @@ def test_cli_serve_loop(tmp_path):
                                    {"poi": 7, "timestamp": 3000.0}]],
                     "k": 4, "exclude_visited": False}),
         "{not json",
+        "[]",  # valid JSON, empty request: must answer error, not crash
+        json.dumps({"histories": [[{"poi": 2, "timestamp": 100.0}]],
+                    "user_ids": [1, 2]}),  # length mismatch: error, alive
+        json.dumps([[{"poi": 9, "timestamp": 4000.0}]]),  # still serving
     ]) + "\n"
     proc = subprocess.run(
         [_sys.executable, "-m", "poi_tpu", "serve", "--config", "smoke",
@@ -350,7 +354,10 @@ def test_cli_serve_loop(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [json.loads(l) for l in proc.stdout.strip().splitlines() if l.startswith("{")]
-    assert len(lines) == 3, proc.stdout
+    assert len(lines) == 6, proc.stdout
     assert len(lines[0]["ids"][0]) == 3          # default --k
     assert len(lines[1]["ids"][0]) == 4          # per-request k
     assert "error" in lines[2]                   # malformed kept the loop alive
+    assert "error" in lines[3]                   # empty request: error, alive
+    assert "error" in lines[4]                   # bad user_ids: error, alive
+    assert len(lines[5]["ids"][0]) == 3          # server survived them all
