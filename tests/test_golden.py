@@ -3,12 +3,14 @@ trained 400 steps with fixed seeds must reproduce the recorded loss and
 ranking metrics. Catches silent numerics regressions that shape/equivalence
 tests can't (e.g. a wrong-but-finite gate ordering).
 
-Runs in a FRESH subprocess: in a long-lived xdist worker that has already
-executed ~80 tests, this (the longest single CPU jit workload in the suite)
-reproducibly died with a native `Fatal Python error: Aborted` mid-step —
-worker-state accumulation in the XLA CPU client, not a numerics problem
-(the test passes standalone and in any short session). Isolation makes it
-hermetic and keeps the regression signal.
+Runs in a FRESH subprocess on ONE device: under the shared 8-fake-device
+mesh this test trains 8-way data-parallel, and its cross-device all-reduce
+rendezvous (8 threads) reproducibly hit XLA's 40 s termination timeout when
+two xdist workers plus subprocess tests compete for this box's 2 cores —
+`F rendezvous.cc: Expected 8 threads ... only 6 arrived` → native abort.
+Single-device removes the collectives entirely (DP ≡ single-device is a
+separately tested property; the golden tolerances absorb the reassociation
+drift) and the subprocess keeps it hermetic.
 
 Regenerate tests/golden_metrics.json deliberately when making an intentional
 numerics change (see the snippet in the git history of this file).
@@ -28,9 +30,9 @@ _RUNNER = textwrap.dedent(
     """
     import json, os, sys
     os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    # Override the device-count flag a pytest parent leaks via its own
+    # XLA_FLAGS: this run must be single-device (no collectives).
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_threefry_partitionable", True)
