@@ -524,10 +524,16 @@ def _train_sampled(cfg, trainer, state, start_step, num_steps, callbacks):
             if (i - k + j) % cfg.train.log_every == 0 or (i - k + j) == end
         ]
         if bounds:
+            # float() is the device fence: it must happen BEFORE the window
+            # is timed, or the rate measures dispatch speed, not execution
+            # (the host runs ahead of the device through the async queue —
+            # measured 8x inflation on the config-#5 host-loader path).
+            rows_v = [
+                {m: float(v[j - 1]) for m, v in metrics_k.items()} for j in bounds
+            ]
             dt = time.perf_counter() - t0
             rate = seqs / max(dt, 1e-9)  # chunk-level rate; shared by interior rows
-            for j in bounds:
-                row = {m: float(v[j - 1]) for m, v in metrics_k.items()}
+            for j, row in zip(bounds, rows_v):
                 row.update(step=i - k + j, seqs_per_sec=rate)
                 history.append(row)
                 log.info(
@@ -602,8 +608,9 @@ def train(
         nonlocal t0, seqs
         seqs += cfg.train.batch_size
         if (i + 1) % cfg.train.log_every == 0 or i + 1 == start_step + num_steps:
-            dt = time.perf_counter() - t0
+            # Fence (float) BEFORE timing the window — see _train_sampled.
             row = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t0
             row.update(step=i + 1, seqs_per_sec=seqs / max(dt, 1e-9))
             history.append(row)
             log.info(
