@@ -176,8 +176,11 @@ register(
         # 0.4075/0.2774 vs 0.4037/0.2743 (same protocol), consistent with
         # the config-#5 result — untouched-row moment decay hurts rare-POI
         # embeddings. (Config #2's BPR probe did NOT win — val 0.3809 vs
-        # 0.3837 — so it stays dense.) Rows-gradient mode also lifts
-        # throughput (5,074 → 7,037 seq/s at batch 64).
+        # 0.3837 — so it stays dense.) This is a QUALITY choice: at this
+        # vocab (37k) the rows-mode dedup/scatter machinery has nothing to
+        # amortize and costs throughput (same-window A/B: 21.4k dense vs
+        # 14.6k sparse seq/s @ B=64, scripts/bench_attn_step.py) — unlike
+        # config #5 (V=1M) where sparse wins both quality AND speed.
         train=TrainConfig(
             batch_size=64, num_steps=5_000, lr_schedule="cosine",
             lr_min_frac=0.05, table_update="sparse",

@@ -35,17 +35,23 @@ def main() -> int:
     ds = load_dataset(base.data)
     dims = DataDims.from_dataset(ds)
     print(f"dataset: {ds.num_users} users {ds.num_pois} pois", file=sys.stderr, flush=True)
+    import os
+
+    modes = os.environ.get("ATTN_BENCH_MODES", "sparse,dense").split(",")
     for bs in (64, 256):
-        cfg = base.with_overrides({"train.batch_size": str(bs)})
-        sps = bench._throughput(cfg, ds, steps=40, repeats=4, dims=dims)
-        flops = bench._step_flops(cfg, dims)
-        mfu = flops * (sps / bs) / bench.V5E_BF16_PEAK
-        print(
-            f"attention batch={bs:4d}: {sps:9,.0f} seq/s "
-            f"({bs / (sps / 1e3):6.3f} ms/step, whole-step MFU {mfu:.1%}, "
-            f"analytic {flops / 1e9:.1f} GFLOP/step)",
-            flush=True,
-        )
+        for tu in modes:
+            cfg = base.with_overrides(
+                {"train.batch_size": str(bs), "train.table_update": tu}
+            )
+            sps = bench._throughput(cfg, ds, steps=40, repeats=4, dims=dims)
+            flops = bench._step_flops(cfg, dims)
+            mfu = flops * (sps / bs) / bench.V5E_BF16_PEAK
+            print(
+                f"attention batch={bs:4d} ({tu:6s}): {sps:9,.0f} seq/s "
+                f"({bs / (sps / 1e3):6.3f} ms/step, whole-step MFU {mfu:.1%}, "
+                f"analytic {flops / 1e9:.1f} GFLOP/step)",
+                flush=True,
+            )
     return 0
 
 
