@@ -176,11 +176,13 @@ register(
         # 0.4075/0.2774 vs 0.4037/0.2743 (same protocol), consistent with
         # the config-#5 result — untouched-row moment decay hurts rare-POI
         # embeddings. (Config #2's BPR probe did NOT win — val 0.3809 vs
-        # 0.3837 — so it stays dense.) This is a QUALITY choice: at this
-        # vocab (37k) the rows-mode dedup/scatter machinery has nothing to
-        # amortize and costs throughput (same-window A/B: 21.4k dense vs
-        # 14.6k sparse seq/s @ B=64, scripts/bench_attn_step.py) — unlike
-        # config #5 (V=1M) where sparse wins both quality AND speed.
+        # 0.3837 — so it stays dense.) At this vocab (37k) lazy Adam runs
+        # as the MASKED-DENSE path (sparse_opt.DENSE_LAZY_MAX_BYTES):
+        # same-window A/B 21.1k sparse vs 21.2k dense seq/s @ B=64, 23.9k
+        # vs 25.4k @ B=256 (scripts/bench_attn_step.py) — the earlier
+        # gather/scatter formulation lost 40% here, which is why the path
+        # dispatches on table size; config #5 (V=1M) keeps rows+scatter and
+        # wins both quality and speed.
         train=TrainConfig(
             batch_size=64, num_steps=5_000, lr_schedule="cosine",
             lr_min_frac=0.05, table_update="sparse",

@@ -157,11 +157,19 @@ class Trainer:
         # ~11 ms alone at V=1M via scripts/profile_1m.py) never exists.
         # Other sparse configs (bpr, vocab-sharded, untied) keep dense
         # gradients and only the optimizer reads/writes turn sparse.
+        from poi_tpu.train import sparse_opt as _sparse_opt
+
         use_rows = (
             use_sparse
             and n_model == 1
             and cfg.loss.kind == "sampled_softmax"
             and cfg.model.tie_output_embedding
+            # Small tables take the masked-dense lazy-Adam path instead (the
+            # dense cotangent + full-table streaming update cost well under
+            # a millisecond there, while rows-mode dedup/scatter machinery
+            # costs several — measured, see sparse_opt.DENSE_LAZY_MAX_BYTES).
+            and self.dims.num_pois_padded * cfg.model.embed_dim * 4
+            > _sparse_opt.DENSE_LAZY_MAX_BYTES
         )
         # Same fused-kernel dispatch contract as build_loss_fn.
         _shapes_ok = cfg.loss.num_sampled >= 128 and cfg.model.embed_dim % 128 == 0

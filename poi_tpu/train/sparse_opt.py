@@ -51,6 +51,18 @@ from poi_tpu.utils.config import Config
 # name of the id set that touches them (see ``touched_ids``).
 _TABLE_ID_SOURCE = {"poi": "poi", "out": "poi", "out_bias": "poi", "user": "user"}
 
+# Tables at or below this size take the MASKED-DENSE lazy-Adam path: the same
+# semantics (update + moment decay only on touched rows) computed as
+# streaming elementwise ops over the full table gated by a [V] touched mask.
+# Below ~0.5 GiB a full-table pass costs well under a millisecond, while the
+# gather/dedup/scatter machinery costs several (XLA TPU scatters do
+# full-table passes regardless of N — measured, BASELINE.md): the same-window
+# config-#4 A/B showed the scatter path losing 21.4k → 14.6k seq/s at V=37k.
+# Above the threshold (config #5's 2 GiB tables) the scatter path wins
+# because seven full-table passes are the larger cost. Tests monkeypatch
+# this to pin both paths.
+DENSE_LAZY_MAX_BYTES = 512 * 2**20
+
 
 class SparseAdamState(NamedTuple):
     count: jax.Array  # scalar int32, shared step count (bias correction + lr)
@@ -194,9 +206,12 @@ class SparseTableOptimizer:
         b1, b2, eps = self.b1, self.b2, self.eps
         row_grads = row_grads or {}
         uids = {k: None for k in ids}  # deduped lazily, once per id set
+        masks: dict[str, jax.Array] = {}  # [V] touched masks, once per id set
 
         def table_rows(path, g):
-            """(uids, summed unique-row grads) for table leaves, else None."""
+            """Update plan for table leaves: ("rows", uids, summed grads) for
+            the gather/scatter path, ("masked", src) for the masked-dense
+            path (small tables), None for ordinary dense leaves."""
             src = _is_table(path, g)
             if src is None:
                 return None
@@ -204,26 +219,33 @@ class SparseTableOptimizer:
             if keys[1] in row_grads:
                 occ_ids, occ_rows = row_grads[keys[1]]
                 oob = params["embed"][keys[1]].shape[0]
-                return dedup_sum(occ_ids, occ_rows, oob)
+                return ("rows", *dedup_sum(occ_ids, occ_rows, oob))
             if src not in ids:
                 return None
+            if g.size * g.dtype.itemsize <= DENSE_LAZY_MAX_BYTES:
+                if src not in masks:
+                    masks[src] = (
+                        jnp.zeros(g.shape[0], bool).at[ids[src]].set(True)
+                    )
+                return ("masked", src)
             if uids[src] is None:
                 uids[src] = dedup_ids(ids[src], g.shape[0])
             u = uids[src]
-            return u, g.at[u].get(
+            return ("rows", u, g.at[u].get(
                 mode="fill", fill_value=0.0,
                 unique_indices=True, indices_are_sorted=True,
-            )
+            ))
 
         paths_grads = jax.tree_util.tree_flatten_with_path(grads)[0]
         rows = {path: table_rows(path, g) for path, g in paths_grads}
 
-        # Global grad norm: dense leaves in full, table leaves from their
-        # touched rows only (everything else is exactly zero — tested).
+        # Global grad norm: dense/masked leaves in full (rows outside the
+        # touched set are exactly zero — tested), rows leaves from their
+        # touched rows only.
         sumsq = jnp.float32(0.0)
         for path, g in paths_grads:
             r = rows[path]
-            x = g if r is None else r[1]
+            x = g if (r is None or r[0] == "masked") else r[2]
             sumsq = sumsq + jnp.sum(jnp.square(x.astype(jnp.float32)))
         gnorm = jnp.sqrt(sumsq)
         scale = jnp.float32(1.0)
@@ -244,7 +266,14 @@ class SparseTableOptimizer:
                 v_n = b2 * v + (1 - b2) * jnp.square(g)
                 step = lr_t * (m_n / bc1) / (jnp.sqrt(v_n / bc2) + eps)
                 return p - step, m_n, v_n
-            u, g_u = r
+            if r[0] == "masked":  # lazy Adam as streaming masked-dense ops
+                mask = masks[r[1]].reshape((p.shape[0],) + (1,) * (p.ndim - 1))
+                g = g * scale
+                m_n = jnp.where(mask, b1 * m + (1 - b1) * g, m)
+                v_n = jnp.where(mask, b2 * v + (1 - b2) * jnp.square(g), v)
+                step = lr_t * (m_n / bc1) / (jnp.sqrt(v_n / bc2) + eps)
+                return jnp.where(mask, p - step.astype(p.dtype), p), m_n, v_n
+            _, u, g_u = r
             hint = dict(unique_indices=True, indices_are_sorted=True)
             g_u = g_u * scale
             m_u = m.at[u].get(mode="fill", fill_value=0.0, **hint)

@@ -50,8 +50,15 @@ def test_dedup_ids():
     assert (np.diff(u) > 0).all()  # strictly sorted throughout
 
 
-def test_all_rows_touched_matches_dense_adam():
-    """With ids covering every row, lazy == optax.chain(clip, adam) exactly."""
+@pytest.mark.parametrize("threshold", [None, 0])
+def test_all_rows_touched_matches_dense_adam(threshold, monkeypatch):
+    """With ids covering every row, lazy == optax.chain(clip, adam) exactly —
+    on BOTH table paths: masked-dense (default at this size) and
+    gather/scatter (forced via threshold 0)."""
+    from poi_tpu.train import sparse_opt as so
+
+    if threshold is not None:
+        monkeypatch.setattr(so, "DENSE_LAZY_MAX_BYTES", threshold)
     cfg = _sparse_cfg()
     V, D = 12, 4
     rng = np.random.default_rng(0)
@@ -124,13 +131,16 @@ def test_untouched_rows_have_zero_grad(loss_kind):
 
 
 @pytest.mark.slow
-def test_rows_mode_matches_dense_grad_path():
+def test_rows_mode_matches_dense_grad_path(monkeypatch):
     """Stage B (rows gradients — the dense [V, D] cotangent never exists)
     must produce the same update as the dense-grad sparse path: same touched
-    set, same per-unique-row summed gradients, same lazy Adam."""
+    set, same per-unique-row summed gradients, same lazy Adam. Forces rows
+    mode at smoke scale by zeroing the masked-dense threshold."""
     from poi_tpu.data.pipeline import TrainLoader
     from poi_tpu.models import base as model_base
+    from poi_tpu.train import sparse_opt as so
 
+    monkeypatch.setattr(so, "DENSE_LAZY_MAX_BYTES", 0)
     cfg = _sparse_cfg()  # sampled_softmax + tied table + model axis 1 → rows mode
     ds = load_dataset(cfg.data)
     trainer = Trainer(cfg, DataDims.from_dataset(ds))
@@ -179,6 +189,42 @@ def test_sparse_training_sharded_mesh():
     assert hist[-1]["loss"] < hist[0]["loss"]
     m_poi = state.opt_state.m["embed"]["poi"]
     assert m_poi.shape == state.params["embed"]["poi"].shape
+
+
+def test_masked_and_scatter_paths_agree(monkeypatch):
+    """Partially-touched tables: the masked-dense and gather/scatter lazy-Adam
+    paths must produce identical params/moments."""
+    from poi_tpu.train import sparse_opt as so
+
+    cfg = _sparse_cfg()
+    V, D = 64, 8
+    rng = np.random.default_rng(3)
+    params = {
+        "embed": {
+            "poi": jnp.asarray(rng.normal(size=(V, D)), jnp.float32),
+            "out_bias": jnp.asarray(rng.normal(size=(V,)), jnp.float32),
+        },
+        "tower": {"w": jnp.asarray(rng.normal(size=(D, D)), jnp.float32)},
+    }
+    grads = jax.tree.map(lambda x: jnp.asarray(rng.normal(size=x.shape), x.dtype), params)
+    touched = np.sort(rng.choice(V, 17, replace=False))
+    g_poi = np.array(grads["embed"]["poi"]); g_b = np.array(grads["embed"]["out_bias"])
+    keep = np.zeros(V, bool); keep[touched] = True
+    g_poi[~keep] = 0.0; g_b[~keep] = 0.0  # honest lazy setting: untouched rows have zero grad
+    grads["embed"]["poi"] = jnp.asarray(g_poi)
+    grads["embed"]["out_bias"] = jnp.asarray(g_b)
+    ids = {"poi": jnp.asarray(np.concatenate([touched, touched[:5]]), jnp.int32)}
+
+    opt = SparseTableOptimizer(cfg)
+    outs = []
+    for th in (10**9, 0):
+        monkeypatch.setattr(so, "DENSE_LAZY_MAX_BYTES", th)
+        st = opt.init(params)
+        p1, st1, gn = opt.update_apply(grads, st, params, ids)
+        p1, st1, _ = opt.update_apply(grads, st1, p1, ids)  # two steps (moment state)
+        outs.append((p1, st1.m, st1.v, gn))
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
 def test_sparse_validate_config():
