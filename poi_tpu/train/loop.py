@@ -159,18 +159,7 @@ class Trainer:
         # gradients and only the optimizer reads/writes turn sparse.
         from poi_tpu.train import sparse_opt as _sparse_opt
 
-        use_rows = (
-            use_sparse
-            and n_model == 1
-            and cfg.loss.kind == "sampled_softmax"
-            and cfg.model.tie_output_embedding
-            # Small tables take the masked-dense lazy-Adam path instead (the
-            # dense cotangent + full-table streaming update cost well under
-            # a millisecond there, while rows-mode dedup/scatter machinery
-            # costs several — measured, see sparse_opt.DENSE_LAZY_MAX_BYTES).
-            and self.dims.num_pois_padded * cfg.model.embed_dim * 4
-            > _sparse_opt.DENSE_LAZY_MAX_BYTES
-        )
+        use_rows = _sparse_opt.rows_mode_enabled(cfg, self.dims, n_model)
         # Same fused-kernel dispatch contract as build_loss_fn.
         _shapes_ok = cfg.loss.num_sampled >= 128 and cfg.model.embed_dim % 128 == 0
         rows_fused = (
@@ -612,14 +601,19 @@ def train(
         log.info("steps_per_call -> 1 (resume step %d not chunk-aligned)", start_step)
         spc = 1
 
-    def log_and_callbacks(i, state, metrics):
+    def log_and_callbacks(i, state, metrics, rate=None):
+        """``rate``: pre-measured chunk-level seq/s (chunk paths fence the
+        whole dispatch before timing — a per-boundary window INSIDE a chunk
+        would otherwise time only metric transfer, not execution)."""
         nonlocal t0, seqs
         seqs += cfg.train.batch_size
         if (i + 1) % cfg.train.log_every == 0 or i + 1 == start_step + num_steps:
             # Fence (float) BEFORE timing the window — see _train_sampled.
             row = {k: float(v) for k, v in metrics.items()}
-            dt = time.perf_counter() - t0
-            row.update(step=i + 1, seqs_per_sec=seqs / max(dt, 1e-9))
+            if rate is None:
+                dt = time.perf_counter() - t0
+                rate = seqs / max(dt, 1e-9)
+            row.update(step=i + 1, seqs_per_sec=rate)
             history.append(row)
             log.info(
                 "step %d loss %.4f grad %.3f %.1f seq/s",
@@ -628,6 +622,13 @@ def train(
             t0, seqs = time.perf_counter(), 0
         for cb in callbacks or []:
             cb(i + 1, state, metrics)
+
+    def fence_chunk(metrics_k, k, tc0):
+        """Materialize a chunk's per-step metric floats (the device fence),
+        then compute the chunk-level rate every boundary in it reports."""
+        floated = [{m: float(v[j]) for m, v in metrics_k.items()} for j in range(k)]
+        rate = k * cfg.train.batch_size / max(time.perf_counter() - tc0, 1e-9)
+        return floated, rate
 
     end = start_step + num_steps
     fault = cfg.train.fault_inject_step
@@ -658,9 +659,11 @@ def train(
             if feed is not None and spc > 1:
                 chunk = next(feed)
                 if k == spc:
+                    tc0 = time.perf_counter()
                     state, metrics_k = trainer.step_chunk(state, chunk)
+                    floated, rate = fence_chunk(metrics_k, spc, tc0)
                     for j in range(spc):
-                        log_and_callbacks(i + j, state, {m: v[j] for m, v in metrics_k.items()})
+                        log_and_callbacks(i + j, state, floated[j], rate=rate)
                 else:
                     # Tail (< spc steps): replay leading slices of the chunk.
                     for j in range(k):
@@ -668,9 +671,11 @@ def train(
                         state, metrics = trainer.step(state, single)
                         log_and_callbacks(i + j, state, metrics)
             elif k > 1:
+                tc0 = time.perf_counter()
                 state, metrics_k = trainer.step_chunk(state, [next(loader) for _ in range(k)])
+                floated, rate = fence_chunk(metrics_k, k, tc0)
                 for j in range(k):
-                    log_and_callbacks(i + j, state, {m: v[j] for m, v in metrics_k.items()})
+                    log_and_callbacks(i + j, state, floated[j], rate=rate)
             else:
                 batch = next(feed) if feed is not None else next(loader)
                 state, metrics = trainer.step(state, batch)

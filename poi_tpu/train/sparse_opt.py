@@ -86,6 +86,25 @@ def validate_config(cfg: Config) -> None:
         )
 
 
+def rows_mode_enabled(cfg: Config, dims, n_model: int) -> bool:
+    """Whether the train step differentiates w.r.t. gathered table ROWS
+    (Stage B) instead of the dense table. The single source of truth for
+    this dispatch — the Trainer and scripts/mem_budget.py both call it.
+
+    Requirements: sparse update + unsharded vocab + tied-table sampled
+    softmax, AND a table too big for the masked-dense path (below
+    ``DENSE_LAZY_MAX_BYTES`` the dense cotangent + streaming masked update
+    cost well under a millisecond, while rows-mode dedup/scatter machinery
+    costs several — measured, BASELINE.md config-#4 A/B)."""
+    return (
+        cfg.train.table_update == "sparse"
+        and n_model == 1
+        and cfg.loss.kind == "sampled_softmax"
+        and cfg.model.tie_output_embedding
+        and dims.num_pois_padded * cfg.model.embed_dim * 4 > DENSE_LAZY_MAX_BYTES
+    )
+
+
 def touched_ids(cfg: Config, batch, rng: jax.Array, num_pois: int) -> dict[str, jax.Array]:
     """The id sets that can carry gradient this step, per table family.
 

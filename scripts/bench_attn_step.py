@@ -37,7 +37,10 @@ def main() -> int:
     print(f"dataset: {ds.num_users} users {ds.num_pois} pois", file=sys.stderr, flush=True)
     import os
 
-    modes = os.environ.get("ATTN_BENCH_MODES", "sparse,dense").split(",")
+    modes = [m.strip() for m in os.environ.get("ATTN_BENCH_MODES", "sparse,dense").split(",") if m.strip()]
+    bad = set(modes) - {"sparse", "dense"}
+    if bad or not modes:
+        raise SystemExit(f"ATTN_BENCH_MODES must be a comma list of sparse|dense, got {bad or 'nothing'}")
     for bs in (64, 256):
         for tu in modes:
             cfg = base.with_overrides(

@@ -88,14 +88,11 @@ def main() -> int:
                 dense += b
         return table, dense
 
+    from poi_tpu.train.sparse_opt import rows_mode_enabled
+
     pt, pd = split(abstract.params)
     ot, od = split(abstract.opt_state)
-    rows_mode = (
-        cfg.train.table_update == "sparse"
-        and n_model == 1
-        and cfg.loss.kind == "sampled_softmax"
-        and cfg.model.tie_output_embedding
-    )
+    rows_mode = rows_mode_enabled(cfg, trainer.dims, n_model)
     B, T = cfg.train.batch_size, cfg.data.max_seq_len
     D, S = cfg.model.embed_dim, cfg.loss.num_sampled
     n_ids = 2 * B * T + S

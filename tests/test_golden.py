@@ -30,9 +30,12 @@ _RUNNER = textwrap.dedent(
     """
     import json, os, sys
     os.environ["JAX_PLATFORMS"] = "cpu"
-    # Override the device-count flag a pytest parent leaks via its own
-    # XLA_FLAGS: this run must be single-device (no collectives).
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # Replace only the device-count flag a pytest parent leaks via its own
+    # XLA_FLAGS (this run must be single-device — no collectives); any other
+    # inherited XLA flags are preserved.
+    kept = [f for f in os.environ.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f]
+    os.environ["XLA_FLAGS"] = " ".join(kept + ["--xla_force_host_platform_device_count=1"])
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_threefry_partitionable", True)

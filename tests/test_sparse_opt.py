@@ -180,9 +180,17 @@ def test_sparse_training_learns():
     assert int(state.opt_state.count) == cfg.train.num_steps
 
 
-def test_sparse_training_sharded_mesh():
+@pytest.mark.parametrize("threshold", [None, 0])
+def test_sparse_training_sharded_mesh(threshold, monkeypatch):
     """Sparse update over a (data=4, model=2) mesh: runs, learns, moments
-    shard like their tables."""
+    shard like their tables — on BOTH the masked-dense path (default at
+    smoke size) and the gather/scatter path (threshold forced to 0, the
+    shape class config #5 ships with: scatters into model-sharded tables
+    under GSPMD)."""
+    if threshold is not None:
+        from poi_tpu.train import sparse_opt as so
+
+        monkeypatch.setattr(so, "DENSE_LAZY_MAX_BYTES", threshold)
     cfg = _sparse_cfg(**{"mesh.data": "4", "mesh.model": "2", "train.num_steps": "30"})
     ds = load_dataset(cfg.data)
     trainer, state, hist = train(cfg, ds)
