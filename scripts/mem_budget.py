@@ -97,9 +97,12 @@ def main() -> int:
     D, S = cfg.model.embed_dim, cfg.loss.num_sampled
     n_ids = 2 * B * T + S
     grad_table = (n_ids * (D + 1) * 4) if rows_mode else pt  # rows vs dense cotangent
+    lazy_path = ""
+    if cfg.train.table_update == "sparse":
+        lazy_path = " (rows-gradient mode)" if rows_mode else " (masked-dense/scatter lazy path)"
     print(f"V={trainer.dims.num_pois:,} (padded {vp:,}) D={D} B={B} T={T} "
           f"S={S} mesh={dict(trainer.mesh.shape)} "
-          f"table_update={cfg.train.table_update}{' (rows mode)' if rows_mode else ''}")
+          f"table_update={cfg.train.table_update}{lazy_path}")
     print("-- pytree accounting (per device) --")
     print(f"  params     tables {gib(pt // n_model)}   dense {gib(pd)}")
     print(f"  opt m+v    tables {gib(ot // n_model)}   dense {gib(od)}")

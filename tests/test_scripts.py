@@ -21,7 +21,7 @@ def test_mem_budget_runs_on_smoke():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "pytree accounting" in r.stdout
-    assert "rows mode" in r.stdout  # sampled+tied+model=1 → rows-grad path
+    assert "lazy path" in r.stdout  # smoke tables are small → masked-dense, not rows mode
     assert "memory_analysis" in r.stdout or "peak" in r.stdout
 
 
