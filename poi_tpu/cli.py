@@ -269,11 +269,14 @@ def _restore_for_inference(cfg, step=None):
     from poi_tpu.train.loop import Trainer
     from poi_tpu.utils.checkpoint import CheckpointManager, abstract_like
 
+    from poi_tpu.utils.checkpoint import warn_config_mismatch
+
     mesh_lib.maybe_init_distributed()
     ds = load_dataset(cfg.data)
     trainer = Trainer(cfg, DataDims.from_dataset(ds))
     state = trainer.init_state()
     ckpt = CheckpointManager(cfg.checkpoint.directory)
+    warn_config_mismatch(ckpt.saved_config(step), cfg)
     sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
     abstract = abstract_like(state, sh)
     state, _ = ckpt.restore(abstract, step=step)

@@ -143,10 +143,53 @@ class CheckpointManager:
         extra = restored.get("extra") or {}
         return state, (extra.get("loader") or {})
 
+    def saved_config(self, step: int | None = None) -> str | None:
+        """The config JSON persisted with a checkpoint (None if absent)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.Composite(extra=ocp.args.JsonRestore())
+            )
+        except Exception:
+            return None
+        return (restored.get("extra") or {}).get("config")
+
     def close(self) -> None:
         self._mgr.close()
         if self._sel_mgr is not None:
             self._sel_mgr.close()
+
+
+def warn_config_mismatch(saved_json: str | None, cfg, sections=("model", "data", "loss")) -> list[str]:
+    """Compare semantics-bearing config sections against a checkpoint's saved
+    config and log what differs. Same-shaped params under a different config
+    (e.g. another attn_window or feature-bucketing) restore WITHOUT error and
+    silently evaluate wrong — the one failure mode shape checking can't catch.
+    Returns the list of differing dotted keys (for tests)."""
+    if not saved_json:
+        return []
+    try:
+        import json as _json
+
+        saved = _json.loads(saved_json)
+    except Exception:
+        return []
+    live = _json.loads(cfg.to_json())
+    diffs = []
+    for sec in sections:
+        a, b = saved.get(sec, {}), live.get(sec, {})
+        for k in sorted(set(a) | set(b)):
+            if a.get(k) != b.get(k):
+                diffs.append(f"{sec}.{k}: checkpoint={a.get(k)!r} vs run={b.get(k)!r}")
+    if diffs:
+        log.warning(
+            "config differs from the one this checkpoint was trained with "
+            "(same-shaped params restore silently; results may be wrong):\n  %s",
+            "\n  ".join(diffs),
+        )
+    return diffs
 
 
 def _serializable(state: TrainState) -> dict:

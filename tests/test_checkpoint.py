@@ -181,3 +181,23 @@ def test_eval_and_recommend_by_step(setup, tmp_path, capsys):
     assert rc == 0
     ids = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(ids[0]) == 3
+
+
+def test_config_mismatch_warning(tmp_path, caplog):
+    """Restoring with a semantics-changed config (same param shapes) must
+    warn with the differing keys — shape checks cannot catch this."""
+    import logging
+
+    from poi_tpu.configs.presets import get_config
+    from poi_tpu.utils.checkpoint import warn_config_mismatch
+
+    cfg = get_config("smoke")
+    cfg2 = cfg.with_overrides({"model.attn_window": "32", "data.time_buckets": "24"})
+    with caplog.at_level(logging.WARNING):
+        diffs = warn_config_mismatch(cfg.to_json(), cfg2)
+    assert any("model.attn_window" in d for d in diffs)
+    assert any("data.time_buckets" in d for d in diffs)
+    assert "differs" in caplog.text
+    # Identical / absent configs stay silent.
+    assert warn_config_mismatch(cfg.to_json(), cfg) == []
+    assert warn_config_mismatch(None, cfg) == []
