@@ -148,7 +148,9 @@ def run_train(
         latest = ckpt.latest_step()
         if latest is not None:
             from poi_tpu.parallel.shardings import state_shardings
+            from poi_tpu.utils.checkpoint import warn_config_mismatch
 
+            warn_config_mismatch(ckpt.saved_config(), cfg)
             sh = state_shardings(state, trainer.mesh, trainer.dims.num_pois_padded)
             state, loader_state = ckpt.restore(abstract_like(state, sh))
             log.info("resumed from checkpoint step %d", latest)
